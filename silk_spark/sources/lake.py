@@ -1,0 +1,327 @@
+"""LakeTable: a copy-on-write, hash-bucketed snapshot table on parquet.
+
+Implements the Iceberg semantics the north rule needs -- atomic
+snapshot commits, batch-id idempotency in the snapshot summary,
+column-ID schema evolution, per-bucket file pruning -- without the
+Iceberg runtime jar (not in this image). On a real cluster the
+public API maps 1:1 onto an Iceberg table:
+
+    merge_batch(...)  ->  MERGE INTO t USING changes
+                          ON t.conv_id = c.conv_id AND t.turn_idx = c.turn_idx
+                          WHEN MATCHED AND (c.ts, c.lsn) > (t.ts, t.lsn) THEN UPDATE ...
+                          WHEN NOT MATCHED THEN INSERT ...
+    bucket partitioning  ->  PARTITIONED BY (bucket(N, conv_id))
+    committed_batches    ->  snapshot summary property, checked before commit
+
+Layout::
+
+    <root>/metadata/version-hint.text     # current metadata version (atomic pointer)
+    <root>/metadata/v<k>.metadata.json    # schemas + snapshot log + file manifest
+    <root>/data/snap-<sid>/_bucket=<b>/*.parquet
+
+Copy-on-write MERGE rewrites ONLY the buckets containing changed keys;
+untouched buckets carry their files forward by reference. At 100 TB
+with (say) 4096 buckets, a micro-batch touching 200 conversations
+rewrites ~200/4096 of the table, not all of it. Deletes are kept as
+tombstone rows (op='D') so the final state is invariant to how the
+change log is sliced into batches; `compact()` drops them.
+
+Reference analogue: Silk's EntitySink openTable/writeEntity/closeTable
+(/root/reference/silk-core/src/main/scala/org/silkframework/dataset/
+EntitySink.scala:12-50) and FileEntityCache block/partition layout
+(silk-core/.../cache/FileEntityCache.scala:41-58, blocks=101 default at
+config/Blocking.scala:40) -- reborn as bucketed COW snapshots.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from silk_spark.operators.dedup import latest_by_key
+from silk_spark.schema import SchemaRegistry, TableSchema, align_to_schema
+
+KEYS = ["conv_id", "turn_idx"]
+VERSION_ORDER = ["ts", "lsn"]
+
+
+def bucket_expr(col: str, n_buckets: int) -> F.Column:
+    """Stable hash bucket for a key column (Iceberg bucket-transform analogue)."""
+    return F.pmod(F.xxhash64(F.col(col)), F.lit(n_buckets)).cast("int")
+
+
+class LakeTable:
+    """Single-writer copy-on-write table with snapshot isolation."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        self.meta_dir = os.path.join(root, "metadata")
+        self.data_dir = os.path.join(root, "data")
+        self._meta: dict | None = None
+
+    # ---------- creation / metadata ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema,
+        key_cols: list[str] | None = None,
+        version_cols: list[str] | None = None,
+        n_buckets: int = 32,
+    ) -> "LakeTable":
+        t = LakeTable(spark, root)
+        os.makedirs(t.meta_dir, exist_ok=True)
+        os.makedirs(t.data_dir, exist_ok=True)
+        registry = SchemaRegistry(schema)
+        meta = {
+            "format_version": 1,
+            "key_cols": key_cols or KEYS,
+            "version_cols": version_cols or VERSION_ORDER,
+            "n_buckets": n_buckets,
+            "registry": registry.to_dict(),
+            "current_snapshot_id": None,
+            "snapshots": [],
+            "committed_batches": [],
+        }
+        t._write_meta(meta, version=0)
+        return t
+
+    def _hint_path(self) -> str:
+        return os.path.join(self.meta_dir, "version-hint.text")
+
+    def _write_meta(self, meta: dict, version: int) -> None:
+        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, path)
+        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
+        with open(hint_tmp, "w") as f:
+            f.write(str(version))
+        os.replace(hint_tmp, self._hint_path())  # atomic commit point
+        self._meta = meta
+        self._meta_version = version
+
+    def _load_meta(self) -> dict:
+        with open(self._hint_path()) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
+            self._meta = json.load(f)
+        self._meta_version = version
+        return self._meta
+
+    @property
+    def meta(self) -> dict:
+        return self._meta if self._meta is not None else self._load_meta()
+
+    def refresh(self) -> "LakeTable":
+        self._load_meta()
+        return self
+
+    @property
+    def registry(self) -> SchemaRegistry:
+        return SchemaRegistry.from_dict(self.meta["registry"])
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.registry.current
+
+    def current_snapshot(self) -> dict | None:
+        sid = self.meta["current_snapshot_id"]
+        if sid is None:
+            return None
+        return next(s for s in self.meta["snapshots"] if s["snapshot_id"] == sid)
+
+    def committed_batches(self) -> set:
+        return set(self.meta["committed_batches"])
+
+    # ---------- read ----------
+
+    def _bucket_files(self) -> dict[str, list[str]]:
+        snap = self.current_snapshot()
+        return {} if snap is None else snap["files"]
+
+    def scan(self, buckets: list[int] | None = None, with_tombstones: bool = True) -> DataFrame:
+        """Read the table (optionally pruned to a bucket subset). Old
+        data files are aligned to the current schema (missing columns
+        -> NULL, widened types -> cast): the column-ID mapped read."""
+        files_by_bucket = self._bucket_files()
+        if buckets is not None:
+            wanted = {str(b) for b in buckets}
+            files_by_bucket = {b: fs for b, fs in files_by_bucket.items() if b in wanted}
+        all_files = [f for fs in files_by_bucket.values() for f in fs]
+        schema = self.schema
+        if not all_files:
+            empty_ddl = schema.ddl() + ", _bucket int"
+            return self.spark.createDataFrame([], empty_ddl)
+        df = (
+            self.spark.read.option("mergeSchema", "true")
+            .option("basePath", self.data_dir)
+            .parquet(*all_files)
+        )
+        # partition dir gives _bucket=<b>; align payload cols to the
+        # current schema in the same projection
+        cols = [
+            (F.col(c.name).cast(c.dtype) if c.name in df.columns else F.lit(None).cast(c.dtype)).alias(c.name)
+            for c in schema.columns
+        ]
+        aligned = df.select(*cols, F.col("_bucket").cast("int").alias("_bucket"))
+        if not with_tombstones and "op" in schema.names():
+            aligned = aligned.filter((F.col("op").isNull()) | (F.col("op") != "D"))
+        return aligned
+
+    def read(self) -> DataFrame:
+        """Live rows (tombstones filtered, bookkeeping columns dropped)."""
+        return self.scan(with_tombstones=False).drop("_bucket")
+
+    # ---------- write / merge ----------
+
+    def merge_batch(
+        self,
+        changes: DataFrame,
+        batch_id: str,
+        extra_summary: dict | None = None,
+    ) -> dict:
+        """Idempotent copy-on-write MERGE of one micro-batch.
+
+        `changes` must carry key_cols + version_cols + 'op' (+payload).
+        Steps: (1) skip if batch_id already committed; (2) dedup to the
+        latest event per key (max-by version); (3) rewrite only touched
+        buckets, resolving base-vs-change by max version so replay and
+        out-of-order batches converge to the same state; (4) atomically
+        commit a new snapshot whose summary embeds batch_id + lineage.
+        Returns the snapshot summary (or the prior one if skipped).
+        """
+        meta = dict(self.meta)
+        if batch_id in meta["committed_batches"]:
+            return {"skipped": True, "batch_id": batch_id}
+
+        keys = meta["key_cols"]
+        order = meta["version_cols"]
+        n_buckets = meta["n_buckets"]
+
+        # schema evolution: add new incoming columns / widen types
+        registry = SchemaRegistry.from_dict(meta["registry"])
+        incoming = [(f.name, f.dataType.simpleString()) for f in changes.schema.fields]
+        registry.evolve(incoming)
+        schema = registry.current
+
+        changes = align_to_schema(changes, schema)
+        changes = latest_by_key(changes, keys, order)
+        changes = changes.withColumn("_bucket", bucket_expr(keys[0], n_buckets))
+
+        # lineage BEFORE the write: per-bucket applied counts + op mix
+        stats_rows = (
+            changes.groupBy("_bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+            )
+            .collect()
+        )
+        changed_buckets = sorted(int(r["_bucket"]) for r in stats_rows)
+        partition_stats = {str(r["_bucket"]): int(r["rows"]) for r in stats_rows}
+        rows_in_batch = sum(partition_stats.values())
+        rows_deleted = int(sum(r["deletes"] for r in stats_rows))
+
+        snap_id = (meta["current_snapshot_id"] or 0) + 1
+        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+
+        if changed_buckets:
+            base = self.scan(buckets=changed_buckets)
+            merged = latest_by_key(
+                base.unionByName(changes, allowMissingColumns=True), keys, order
+            )
+            # one output file set per bucket; repartition by bucket keeps
+            # each parquet dir written by the executors owning that hash range
+            (
+                merged.repartition(max(len(changed_buckets), 1), "_bucket")
+                .write.mode("overwrite")
+                .partitionBy("_bucket")
+                .parquet(snap_dir)
+            )
+
+        # build new file manifest: carry-over + rewritten buckets
+        files = dict(self._bucket_files())
+        for b in changed_buckets:
+            bdir = os.path.join(snap_dir, f"_bucket={b}")
+            files[str(b)] = [
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+
+        summary = {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "batch_id": batch_id,
+            "operation": "merge",
+            "schema_id": schema.schema_id,
+            "rows_in_batch": rows_in_batch,
+            "rows_deleted": rows_deleted,
+            "buckets_rewritten": len(changed_buckets),
+            "partition_stats": partition_stats,
+        }
+        if extra_summary:
+            summary.update(extra_summary)
+
+        meta["registry"] = registry.to_dict()
+        meta["snapshots"] = meta["snapshots"] + [{**summary, "files": files}]
+        meta["current_snapshot_id"] = snap_id
+        meta["committed_batches"] = meta["committed_batches"] + [batch_id]
+        self._write_meta(meta, version=self._meta_version + 1)
+        return summary
+
+    def overwrite(self, df: DataFrame, batch_id: str = "bootstrap") -> dict:
+        """Full-table rewrite (bootstrap load)."""
+        meta = dict(self.meta)
+        registry = SchemaRegistry.from_dict(meta["registry"])
+        registry.evolve([(f.name, f.dataType.simpleString()) for f in df.schema.fields])
+        schema = registry.current
+        n_buckets = meta["n_buckets"]
+        snap_id = (meta["current_snapshot_id"] or 0) + 1
+        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        out = align_to_schema(df, schema).withColumn(
+            "_bucket", bucket_expr(meta["key_cols"][0], n_buckets)
+        )
+        out.repartition(n_buckets, "_bucket").write.mode("overwrite").partitionBy(
+            "_bucket"
+        ).parquet(snap_dir)
+        files = {}
+        for entry in sorted(os.listdir(snap_dir)):
+            if entry.startswith("_bucket="):
+                b = entry.split("=", 1)[1]
+                bdir = os.path.join(snap_dir, entry)
+                files[b] = [
+                    os.path.join(bdir, f)
+                    for f in sorted(os.listdir(bdir))
+                    if f.endswith(".parquet")
+                ]
+        summary = {
+            "snapshot_id": snap_id,
+            "parent_id": meta["current_snapshot_id"],
+            "batch_id": batch_id,
+            "operation": "overwrite",
+            "schema_id": schema.schema_id,
+        }
+        meta["registry"] = registry.to_dict()
+        meta["snapshots"] = meta["snapshots"] + [{**summary, "files": files}]
+        meta["current_snapshot_id"] = snap_id
+        meta["committed_batches"] = meta["committed_batches"] + [batch_id]
+        self._write_meta(meta, version=self._meta_version + 1)
+        return summary
+
+    def compact(self) -> dict:
+        """Drop tombstones and rewrite every bucket (maintenance)."""
+        live = self.scan(with_tombstones=False)
+        return self.overwrite(live.drop("_bucket"), batch_id=f"compact-{uuid.uuid4().hex[:8]}")
+
+    def drop(self) -> None:
+        shutil.rmtree(self.root, ignore_errors=True)
