@@ -1,0 +1,387 @@
+"""Transformer catalog as Column builders.
+
+Re-expression of the reference's Transformer plugin catalog
+(/root/reference/silk-rules/src/main/scala/org/silkframework/rule/
+plugins/transformer/**; interface rule/input/Transformer.scala:1-41)
+as ``Column -> Column`` functions. Silk transformers map
+``Seq[Seq[String]] -> Seq[String]``; here scalar columns stay scalar
+and multi-valued cells are ``array<string>`` with higher-order
+functions — everything JVM-side except the Porter stemmer / metaphone
+family, which are deliberately omitted (no library in-image; soundex
+IS built in).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# --- normalize (plugins/transformer/normalize/*.scala) ---------------------
+
+
+def lower_case(c: Column) -> Column:
+    return F.lower(c)
+
+
+def upper_case(c: Column) -> Column:
+    return F.upper(c)
+
+
+def capitalize(c: Column) -> Column:
+    return F.initcap(c)
+
+
+def trim(c: Column) -> Column:
+    return F.trim(c)
+
+
+def remove_blanks(c: Column) -> Column:
+    return F.replace(c, F.lit(" "), F.lit(""))
+
+
+def remove_special_chars(c: Column) -> Column:
+    return F.regexp_replace(c, r"[^\w\s]", "")
+
+
+def alpha_reduce(c: Column) -> Column:
+    """AlphaReduceTransformer.scala:23 — keep letters only."""
+    return F.regexp_replace(c, "[^a-zA-Z]", "")
+
+
+def remove_parentheses(c: Column) -> Column:
+    return F.regexp_replace(c, r"\([^)]*\)", "")
+
+
+def remove_duplicates(c: Column) -> Column:
+    """array<string> cell → distinct values."""
+    return F.array_distinct(c)
+
+
+def url_encode(c: Column) -> Column:
+    return F.url_encode(c)
+
+
+# --- linguistic ------------------------------------------------------------
+
+
+def soundex(c: Column) -> Column:
+    """SoundexTransformer.scala:8 — Spark builtin."""
+    return F.soundex(c)
+
+
+# --- tokenization ----------------------------------------------------------
+
+
+def tokenize(c: Column, pattern: str = r"\s+") -> Column:
+    """Tokenizer.scala:22 — regex split; empty tokens dropped."""
+    return F.filter(F.split(c, pattern), lambda x: x != "")
+
+
+def camel_case_tokenize(c: Column) -> Column:
+    return F.filter(F.split(c, "(?<=[a-z])(?=[A-Z])"), lambda x: x != "")
+
+
+# --- substring -------------------------------------------------------------
+
+
+def strip_prefix(c: Column, prefix: str) -> Column:
+    p = prefix.replace("\\", "\\\\")
+    return F.regexp_replace(c, "^" + _re_escape(prefix), "")
+
+
+def strip_postfix(c: Column, postfix: str) -> Column:
+    return F.regexp_replace(c, _re_escape(postfix) + "$", "")
+
+
+def substring(c: Column, start: int = 0, length: int | None = None) -> Column:
+    if length is None:
+        return F.substring(c, start + 1, 1 << 30)
+    return F.substring(c, start + 1, length)
+
+
+def until_character(c: Column, ch: str) -> Column:
+    return F.substring_index(c, ch, 1)
+
+
+def _re_escape(s: str) -> str:
+    out = []
+    for ch in s:
+        out.append("\\" + ch if ch in r"\.^$|?*+()[]{}" else ch)
+    return "".join(out)
+
+
+# --- replace / extraction --------------------------------------------------
+
+
+def replace(c: Column, search: str, replacement: str) -> Column:
+    return F.replace(c, F.lit(search), F.lit(replacement))
+
+
+def regex_replace(c: Column, regex: str, replacement: str) -> Column:
+    return F.regexp_replace(c, regex, replacement)
+
+
+def map_values(c: Column, mapping: dict[str, str], default: str | None = None) -> Column:
+    """MapTransformer.scala:21 — dictionary lookup via a map literal
+    (broadcast join territory only for huge dictionaries)."""
+    m = F.create_map(*[F.lit(x) for kv in mapping.items() for x in kv])
+    got = m.getItem(c)
+    return F.coalesce(got, F.lit(default)) if default is not None else got
+
+
+def regex_extract(c: Column, regex: str, group: int = 1) -> Column:
+    return F.regexp_extract(c, regex, group)
+
+
+# --- combine ---------------------------------------------------------------
+
+
+def concat(*cols: Column, glue: str = "") -> Column:
+    """ConcatTransformer.scala:21."""
+    return F.concat_ws(glue, *cols)
+
+
+def concat_multi_values(c: Column, glue: str = " ", sort: bool = False) -> Column:
+    arr = F.sort_array(c) if sort else c
+    return F.array_join(arr, glue)
+
+
+def merge(a: Column, b: Column) -> Column:
+    """MergeTransformer.scala:21 — concat two array cells."""
+    return F.concat(a, b)
+
+
+# --- conditional -----------------------------------------------------------
+
+
+def if_exists(cond: Column, then: Column, els: Column) -> Column:
+    return F.when(cond.isNotNull(), then).otherwise(els)
+
+
+def if_contains(c: Column, search: str, then: Column, els: Column) -> Column:
+    return F.when(c.contains(search), then).otherwise(els)
+
+
+def if_matches_regex(c: Column, regex: str, then: Column, els: Column) -> Column:
+    return F.when(c.rlike(regex), then).otherwise(els)
+
+
+def contains_all_of(c: Column, values: list[str]) -> Column:
+    """array cell contains all of `values`."""
+    needle = F.array(*[F.lit(v) for v in values])
+    return F.size(F.array_except(needle, c)) == 0
+
+
+def contains_any_of(c: Column, values: list[str]) -> Column:
+    return F.arrays_overlap(c, F.array(*[F.lit(v) for v in values]))
+
+
+def negate_bool(c: Column) -> Column:
+    return ~c
+
+
+# --- value-level filters ---------------------------------------------------
+
+
+def remove_empty_values(c: Column) -> Column:
+    return F.filter(c, lambda x: x != "")
+
+
+def remove_values(c: Column, blacklist: list[str]) -> Column:
+    return F.array_except(c, F.array(*[F.lit(v) for v in blacklist]))
+
+
+def filter_by_length(c: Column, min_len: int = 0, max_len: int = 1 << 30) -> Column:
+    return F.filter(c, lambda x: (F.length(x) >= min_len) & (F.length(x) <= max_len))
+
+
+def filter_by_regex(c: Column, regex: str, negate: bool = False) -> Column:
+    if negate:
+        return F.filter(c, lambda x: ~x.rlike(regex))
+    return F.filter(c, lambda x: x.rlike(regex))
+
+
+def remove_stopwords(c: Column, stopwords: list[str]) -> Column:
+    """removeRemoteStopwords reborn with a local/broadcast word set."""
+    return F.array_except(c, F.array(*[F.lit(w) for w in stopwords]))
+
+
+# --- numeric ---------------------------------------------------------------
+
+
+def num_operation(a: Column, b: Column, op: str = "+") -> Column:
+    a, b = a.cast("double"), b.cast("double")
+    return {"+": a + b, "-": a - b, "*": a * b, "/": a / b}[op]
+
+
+def aggregate_numbers(c: Column, op: str = "sum") -> Column:
+    """AggregateNumbersTransformer.scala:27 — within-cell aggregate of
+    an array<numeric> via higher-order functions."""
+    d = F.transform(c, lambda x: x.cast("double"))
+    if op == "sum":
+        return F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x)
+    if op == "min":
+        return F.array_min(d)
+    if op == "max":
+        return F.array_max(d)
+    if op == "average":
+        return F.when(
+            F.size(d) > 0,
+            F.aggregate(d, F.lit(0.0), lambda acc, x: acc + x) / F.size(d),
+        )
+    raise ValueError(op)
+
+
+def count_values(c: Column) -> Column:
+    return F.size(c)
+
+
+def format_number(c: Column, decimals: int = 2) -> Column:
+    return F.format_number(c.cast("double"), decimals)
+
+
+def num_reduce(c: Column) -> Column:
+    """NumReduceTransformer — digits only."""
+    return F.regexp_replace(c, "[^0-9]", "")
+
+
+def log_transform(c: Column, base: float = 10.0) -> Column:
+    return F.log(float(base), c.cast("double"))
+
+
+# --- date ------------------------------------------------------------------
+
+
+def parse_date(c: Column, fmt: str = "yyyy-MM-dd") -> Column:
+    return F.to_date(c, fmt)
+
+
+def date_to_timestamp(c: Column) -> Column:
+    return F.unix_timestamp(c.cast("timestamp"))
+
+
+def time_to_date(c: Column) -> Column:
+    return F.from_unixtime(c.cast("long")).cast("date")
+
+
+def compare_dates(a: Column, b: Column, op: str = "<") -> Column:
+    a, b = a.cast("date"), b.cast("date")
+    return {"<": a < b, "<=": a <= b, ">": a > b, ">=": a >= b, "=": a == b}[op]
+
+
+def duration_in_days(a: Column, b: Column) -> Column:
+    return F.datediff(b.cast("date"), a.cast("date"))
+
+
+def duration_in_seconds(a: Column, b: Column) -> Column:
+    return b.cast("timestamp").cast("long") - a.cast("timestamp").cast("long")
+
+
+# --- conversion / selection / value ---------------------------------------
+
+
+def convert_charset(c: Column, from_cs: str = "UTF-8", to_cs: str = "UTF-8") -> Column:
+    return F.decode(F.encode(c, from_cs), to_cs)
+
+
+def coalesce_values(*cols: Column) -> Column:
+    return F.coalesce(*cols)
+
+
+def get_value_by_index(c: Column, idx: int) -> Column:
+    """GetValueByIndexTransformer.scala:11 — 0-based; null past end
+    (try_element_at: ANSI-safe)."""
+    return F.try_element_at(c, F.lit(idx + 1))
+
+
+def constant_value(value: str) -> Column:
+    return F.lit(value)
+
+
+def default_value(c: Column, default: str) -> Column:
+    return F.coalesce(c, F.lit(default))
+
+
+def deterministic_uuid(c: Column) -> Column:
+    """GenerateUUID reborn deterministic: name-based ids from content
+    (replay-stable, unlike uuid())."""
+    return F.md5(c.cast("string"))
+
+
+# --- validation ------------------------------------------------------------
+
+
+def validate_regex(c: Column, regex: str) -> Column:
+    """Null out non-matching values (quarantine-split style; the
+    reference throws — see ValidationTransformers, validation/*.scala)."""
+    return F.when(c.rlike(regex), c)
+
+
+def validate_numeric_range(c: Column, lo: float, hi: float) -> Column:
+    v = c.cast("double")
+    return F.when((v >= lo) & (v <= hi), c)
+
+
+TRANSFORMERS = {
+    "lowerCase": lower_case,
+    "upperCase": upper_case,
+    "capitalize": capitalize,
+    "trim": trim,
+    "removeBlanks": remove_blanks,
+    "removeSpecialChars": remove_special_chars,
+    "alphaReduce": alpha_reduce,
+    "removeParentheses": remove_parentheses,
+    "removeDuplicates": remove_duplicates,
+    "urlEncode": url_encode,
+    "soundex": soundex,
+    "tokenize": tokenize,
+    "camelCaseTokenize": camel_case_tokenize,
+    "stripPrefix": strip_prefix,
+    "stripPostfix": strip_postfix,
+    "substring": substring,
+    "untilCharacter": until_character,
+    "replace": replace,
+    "regexReplace": regex_replace,
+    "map": map_values,
+    "regexExtract": regex_extract,
+    "concat": concat,
+    "concatMultiValues": concat_multi_values,
+    "merge": merge,
+    "ifExists": if_exists,
+    "ifContains": if_contains,
+    "ifMatchesRegex": if_matches_regex,
+    "containsAllOf": contains_all_of,
+    "containsAnyOf": contains_any_of,
+    "negate": negate_bool,
+    "removeEmptyValues": remove_empty_values,
+    "removeValues": remove_values,
+    "filterByLength": filter_by_length,
+    "filterByRegex": filter_by_regex,
+    "removeStopwords": remove_stopwords,
+    "numOperation": num_operation,
+    "aggregateNumbers": aggregate_numbers,
+    "count": count_values,
+    "formatNumber": format_number,
+    "numReduce": num_reduce,
+    "log": log_transform,
+    "parseDate": parse_date,
+    "dateToTimestamp": date_to_timestamp,
+    "timeToDate": time_to_date,
+    "compareDates": compare_dates,
+    "durationInDays": duration_in_days,
+    "durationInSeconds": duration_in_seconds,
+    "convertCharset": convert_charset,
+    "coalesce": coalesce_values,
+    "getValueByIndex": get_value_by_index,
+    "constant": constant_value,
+    "defaultValue": default_value,
+    "uuid": deterministic_uuid,
+    "validateRegex": validate_regex,
+    "validateNumericRange": validate_numeric_range,
+}
+
+
+def transform(name: str, *cols, **params) -> Column:
+    """Registry dispatch (PluginFactory analogue, reference
+    silk-core/.../runtime/plugin/)."""
+    return TRANSFORMERS[name](*cols, **params)

@@ -1,0 +1,157 @@
+"""Link generation: blocked similarity join-and-score + best-link filter.
+
+Silk's GenerateLinks pipeline (/root/reference/silk-rules/src/main/
+scala/org/silkframework/rule/execution/GenerateLinks.scala:63-132)
+reborn as four DataFrame stages:
+
+  1. block      — candidate_pairs() (blocking.py) = CacheLoader+Index
+  2. score      — one projection evaluating the rule tree
+                  (Comparison confidence + aggregator Columns)
+  3. filter     — confidence >= 0 (Matcher.scala:273-280) and
+                  top-k per source (Filter.scala:33-50)
+  4. output     — the links DataFrame (source, target, confidence)
+
+A LinkageRule here is a small expression-tree description compiled to
+a single Column — the Spark analogue of the reference's
+SimilarityOperator tree (rule/LinkageRule.scala:28-64).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from silk_spark.functions.aggregators import AGGREGATORS
+from silk_spark.functions.measures import MEASURES, distance_to_confidence
+
+# ---------------------------------------------------------------------------
+# rule tree
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class Comparison:
+    """One measure over a (left, right) column pair
+    (reference rule/similarity/Comparison.scala:32-96)."""
+
+    measure: str
+    left: str  # column name in the pair frame (without left_ prefix)
+    right: str | None = None  # defaults to same name
+    threshold: float = 1.0
+    weight: float = 1.0
+    params: dict = field(default_factory=dict)
+
+    def confidence(self) -> Column:
+        lcol = F.col(f"left_{self.left}")
+        rcol = F.col(f"right_{self.right or self.left}")
+        dist = MEASURES[self.measure](lcol, rcol, **self.params)
+        return distance_to_confidence(dist, self.threshold)
+
+
+@dataclass
+class Aggregation:
+    """Aggregator node over child Comparisons/Aggregations
+    (reference rule/similarity/Aggregation.scala)."""
+
+    aggregator: str  # key into AGGREGATORS
+    children: list = field(default_factory=list)
+    params: dict = field(default_factory=dict)
+
+    def confidence(self) -> Column:
+        scores = [c.confidence() for c in self.children]
+        if self.aggregator == "average":
+            weights = [getattr(c, "weight", 1.0) for c in self.children]
+            return AGGREGATORS["average"](*scores, weights=weights)
+        return AGGREGATORS[self.aggregator](*scores, **self.params)
+
+
+@dataclass
+class LinkageRule:
+    """Root operator + filter config (rule/LinkageRule.scala:28-64,
+    rule/LinkFilter.scala:26)."""
+
+    operator: Comparison | Aggregation
+    limit: int | None = None  # top-k links per source
+    unambiguous: bool = False  # keep only sources with exactly one link
+    threshold: float = 0.0  # emit iff confidence >= this (reference: 0.0)
+
+
+# ---------------------------------------------------------------------------
+# execution
+# ---------------------------------------------------------------------------
+
+
+def score_pairs(pairs: DataFrame, rule: LinkageRule) -> DataFrame:
+    """Stage 2+3a: evaluate the rule tree in ONE whole-stage-codegen
+    projection; keep pairs at/above the rule threshold."""
+    scored = pairs.withColumn("confidence", rule.operator.confidence())
+    return scored.filter(F.col("confidence") >= rule.threshold)
+
+
+def filter_links(
+    links: DataFrame,
+    source_cols: list[str],
+    rule: LinkageRule,
+) -> DataFrame:
+    """Stage 3b: Silk's LinkFilter (rule/execution/Filter.scala:33-55)
+    — per-source top-k by confidence, or unambiguous-only."""
+    if rule.limit is None and not rule.unambiguous:
+        return links
+    w = Window.partitionBy(*source_cols)
+    ordered = w.orderBy(F.col("confidence").desc())
+    if rule.unambiguous:
+        return (
+            links.withColumn("_n", F.count("*").over(w))
+            .filter(F.col("_n") == 1)
+            .drop("_n")
+        )
+    return (
+        links.withColumn("_rn", F.row_number().over(ordered))
+        .filter(F.col("_rn") <= rule.limit)
+        .drop("_rn")
+    )
+
+
+def generate_links(
+    pairs: DataFrame,
+    rule: LinkageRule,
+    source_cols: list[str],
+) -> DataFrame:
+    """block(done by caller via candidate_pairs) → score → filter."""
+    return filter_links(score_pairs(pairs, rule), source_cols, rule)
+
+
+# ---------------------------------------------------------------------------
+# evaluation (reference rule/evaluation/EvaluationResult.scala:36-64 and
+# the names-benchmark harness GenerateLinksTest.scala:110-124)
+# ---------------------------------------------------------------------------
+
+
+def evaluate_links(
+    found: DataFrame,
+    golden: DataFrame,
+    keys: list[str],
+) -> dict:
+    """Precision / recall / F1 + pairsCompleteness / pairsQuality of a
+    found link set vs a golden set, joined on `keys`."""
+    f = found.select(*keys).dropDuplicates()
+    g = golden.select(*keys).dropDuplicates()
+    n_found = f.count()
+    n_golden = g.count()
+    n_correct = f.join(g, on=keys, how="inner").count()
+    precision = n_correct / n_found if n_found else 0.0
+    recall = n_correct / n_golden if n_golden else 0.0
+    f1 = 2 * precision * recall / (precision + recall) if precision + recall else 0.0
+    return {
+        "found": n_found,
+        "golden": n_golden,
+        "correct": n_correct,
+        "precision": precision,
+        "recall": recall,
+        "f1": f1,
+        # reference names: pairsQuality = correct/found, pairsCompleteness = correct/golden
+        "pairs_quality": precision,
+        "pairs_completeness": recall,
+    }

@@ -1,0 +1,130 @@
+"""Text analysis operators for training-data pipelines.
+
+Language ID (stopword-profile heuristic), quality scoring, token
+counting, and rolling-hash document fingerprinting — all pure Column
+expressions (whole-stage codegen; no Python in the hot path), over a
+``documents``-shaped table. These generalize the reference's
+transformer/linguistic plugins (/root/reference/silk-rules/.../plugins/
+transformer/linguistic/, filter/) to corpus-level curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# minimal high-frequency stopword profiles (public knowledge)
+LANG_PROFILES = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "se", "las"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich"],
+    "zh": ["的", "了", "在", "是", "我", "有", "和", "就", "不", "人"],
+}
+
+
+def _tokens(c: Column) -> Column:
+    return F.filter(F.split(F.lower(c), r"\s+"), lambda x: x != "")
+
+
+def lang_id_score(c: Column, lang: str) -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = _tokens(c)
+    profile = F.array(*[F.lit(w) for w in LANG_PROFILES[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(profile, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def lang_id(c: Column, default: str = "und") -> Column:
+    """argmax over language profiles; deterministic tie-break by
+    language code order; 'und' when no profile word hits."""
+    langs = sorted(LANG_PROFILES)
+    # struct(score, negrank) max ≡ argmax with lexicographic tiebreak
+    best = F.greatest(
+        *[
+            F.struct(
+                lang_id_score(c, l).alias("s"),
+                F.lit(-i).alias("r"),
+                F.lit(l).alias("lang"),
+            )
+            for i, l in enumerate(langs)
+        ]
+    )
+    return F.when(best.getField("s") > 0, best.getField("lang")).otherwise(F.lit(default))
+
+
+def token_count(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(_tokens(c))
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Sub-word-ish count: words + digit runs + punctuation marks each
+    count once, long words count ceil(len/6) (BPE-piece proxy; a regex
+    stand-in for a real tokenizer, deliberately deterministic)."""
+    words = _tokens(c)
+    word_pieces = F.aggregate(
+        words,
+        F.lit(0).cast("bigint"),
+        lambda acc, w: acc + F.ceil(F.length(w) / 6.0).cast("bigint"),
+    )
+    punct = F.length(F.regexp_replace(c, r"[^.,;:!?()\[\]{}\"']", ""))
+    return word_pieces + punct.cast("bigint")
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: blend of length band,
+    mean-word-length band, alpha ratio and stopword presence —
+    the usual pre-training corpus filters, one codegen'd expression."""
+    n_chars = F.length(c)
+    toks = _tokens(c)
+    n_toks = F.size(toks)
+    mean_w = F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double") / n_chars,
+    ).otherwise(F.lit(0.0))
+    len_ok = F.when((n_toks >= 10) & (n_toks <= 10000), 1.0).otherwise(0.3)
+    word_ok = F.when((mean_w >= 2.5) & (mean_w <= 12.0), 1.0).otherwise(0.4)
+    stop_hit = F.greatest(
+        *[lang_id_score(c, l) for l in sorted(LANG_PROFILES)]
+    )
+    stop_ok = F.when(stop_hit >= 0.05, 1.0).otherwise(0.5)
+    return F.round(
+        0.3 * len_ok + 0.25 * word_ok + 0.25 * alpha_ratio + 0.2 * stop_ok, 6
+    )
+
+
+def doc_fingerprint(c: Column, shingle_n: int = 5) -> Column:
+    """Order-independent document fingerprint: md5 of the min-hashed
+    shingle (the 'winnowing' survivor) + md5 of full normalized text,
+    concatenated. Portable across engines (md5 everywhere)."""
+    norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.md5(norm)
+
+
+def rolling_shingle_fingerprints(c: Column, shingle_n: int = 5, keep: int = 4) -> Column:
+    """Winnowing-style selection: md5 each word shingle, keep the
+    `keep` smallest digests as the document sketch (array<string>).
+    Two documents sharing any sketch element are near-dup candidates."""
+    toks = _tokens(c)
+    k = F.size(toks) - (shingle_n - 1)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
+    )
+    return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+
+
+def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One-pass per-document profile: language, token counts, quality,
+    fingerprint — a single projection, no shuffle."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        lang_id(c).alias("lang_pred"),
+        token_count(c).alias("n_tokens"),
+        bpe_ish_token_count(c).alias("n_pieces"),
+        quality_score(c).alias("quality"),
+        doc_fingerprint(c).alias("fingerprint"),
+    )

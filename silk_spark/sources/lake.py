@@ -161,11 +161,10 @@ class LakeTable:
         if not all_files:
             empty_ddl = schema.ddl() + ", _bucket int"
             return self.spark.createDataFrame([], empty_ddl)
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .option("basePath", self.data_dir)
-            .parquet(*all_files)
-        )
+        # no mergeSchema: align_to_schema below projects every file onto
+        # the current registry schema, so per-file footer merging on the
+        # driver would be pure overhead (it scales with file count)
+        df = self.spark.read.option("basePath", self.data_dir).parquet(*all_files)
         # partition dir gives _bucket=<b>; align payload cols to the
         # current schema in the same projection
         cols = [

@@ -1,0 +1,94 @@
+"""Local stand-in for the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 on Spark and the matching
+``oracle_sql()`` on DuckDB, then compares row count, column names and
+an order-insensitive value frame (sorted columns, sorted rows).
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entrymod  # noqa: E402
+from silk_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)].copy()
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            pdf[c] = pdf[c].astype(str)
+        elif str(pdf[c].dtype).startswith("float"):
+            pdf[c] = pdf[c].round(6)
+    return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+    only = set(sys.argv[1:])
+    spark = get_spark("oracle-check", cpus=8, shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(path):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{path}'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP {name}: rows-only ({len(got)} rows)")
+            continue
+        try:
+            want = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error {type(e).__name__}: {str(e)[:300]}")
+            failures.append(name)
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} vs {list(w.columns)}")
+            failures.append(name)
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rowcount {len(g)} vs {len(w)}")
+            failures.append(name)
+            continue
+        try:
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+            print(f"OK   {name}: {len(g)} rows")
+        except AssertionError as e:
+            print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
+            diff = g.compare(w) if g.shape == w.shape else None
+            if diff is not None and len(diff):
+                print(diff.head(10))
+            failures.append(name)
+    print("=" * 50)
+    print("FAILURES:", failures if failures else "none")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
