@@ -2,9 +2,19 @@
 
 Primary metric (BASELINE.json): change-events/sec sustained MERGE
 throughput on the synthesized transcript change log, with the
-N-vs-4N-parallelism scaling evidence the north rule requires
-(local[8] vs local[32] subprocesses on identical input; efficiency =
-(T_32 / T_8) / 4).
+N-vs-4N-parallelism scaling evidence the north rule requires.
+
+Methodology (BASELINE.md):
+  * each parallelism level runs in its own subprocess, CPU-PINNED with
+    taskset to exactly that many cores — local[N] alone does not bound
+    the JVM's GC/IO threads to N cores, which silently inflates the
+    small level and understates scaling;
+  * levels are interleaved and repeated (median reported) because the
+    container's virtio disk + shared host introduce ±20% run noise;
+  * all bench I/O (log, table, shuffle) sits on tmpfs when available;
+  * warm-up batches excluded; >= 3 consecutive timed micro-batches;
+  * layout constants (64 buckets, 64 shuffle partitions) are identical
+    across levels — only the core count varies.
 
 Secondary: wall-clock of the headline queries() entries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forced to full
@@ -14,21 +24,26 @@ prune the very expressions being measured).
 Env:
   SPARK_GRAFT_SF_DIR  parquet dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    big parallelism level (default 32)
-  SILK_BENCH_EVENTS   merge-bench change-log size (default 2_000_000)
-  SILK_BENCH_SCALING  "0" to skip the small-parallelism run
+  SILK_BENCH_EVENTS   merge-bench change-log size (default 16_000_000)
+  SILK_BENCH_MODE     merge mode for the throughput stage (default mor)
+  SILK_BENCH_REPEATS  interleaved repetitions per level (default 3)
+  SILK_BENCH_SCALING  "0" to skip the small-parallelism level
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
+import statistics
 import subprocess
 import sys
 import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "2000000"))
+N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "16000000"))
+REPEATS = int(os.environ.get("SILK_BENCH_REPEATS", "3"))
 RUN_SCALING = os.environ.get("SILK_BENCH_SCALING", "1") != "0"
 
 BENCH_QUERIES = [
@@ -50,31 +65,38 @@ BENCH_QUERIES = [
 
 
 def merge_bench(cpus: int, n_events: int) -> dict:
-    """CDC merge throughput at one parallelism level (runs inside a
-    subprocess so each level gets a fresh JVM sized to `cpus`)."""
-    import shutil
-    import tempfile
-
+    """CDC merge throughput at one parallelism level (call inside a
+    fresh, CPU-pinned subprocess — see _merge_subprocess)."""
     from silk_spark.checkpoint import CheckpointStore
     from silk_spark.datagen import changelog
     from silk_spark.session import get_spark
     from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
+    import tempfile
 
-    spark = get_spark(f"silk-bench-{cpus}", cpus=cpus, shuffle_partitions=cpus)
-    root = tempfile.mkdtemp(prefix=f"silk_bench_{cpus}_")
-    # log sized ~n_events; conv space sized so buckets stay hot but
-    # bounded; 4 micro-batches, first is warm-up (excluded)
-    log = changelog(
-        spark, n_events, n_convs=max(n_events // 200, 1000), turns_per_conv=50, seed=42
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix=f"silk_bench_{cpus}_", dir=base)
+    spark = get_spark(
+        f"silk-bench-{cpus}",
+        cpus=cpus,
+        shuffle_partitions=64,
+        extra_conf={"spark.local.dir": os.path.join(root, "scratch")},
     )
-    log = log.repartition(cpus).cache()
-    log.count()  # materialize input outside the timed region
-    table = create_transcripts_table(spark, os.path.join(root, "t"), n_buckets=max(cpus * 4, 64))
+    # Materialize the synthetic log to parquet once (outside the timed
+    # region) and tail it from storage — the real binlog shape. Range-
+    # partitioned by lsn so each batch's range filter prunes to ~1/6 of
+    # the files via row-group stats.
+    log_dir = os.path.join(root, "log")
+    changelog(
+        spark, n_events, n_convs=max(n_events // 200, 1000), turns_per_conv=50, seed=42
+    ).repartitionByRange(64, "lsn").write.parquet(log_dir)
+    log = spark.read.parquet(log_dir)
+    table = create_transcripts_table(
+        spark, os.path.join(root, "t"), n_buckets=64,
+        merge_mode=os.environ.get("SILK_BENCH_MODE", "mor"),
+    )
     ckpt = CheckpointStore(os.path.join(root, "cp"))
     pipe = CdcPipeline(spark, table, ckpt, changelog=log)
-    # 6 equal micro-batches: 2 warm-up (JIT/codegen compile — measured
-    # per-batch times stabilize only after ~2 identical plan shapes),
-    # 4 timed (BASELINE.md protocol: >= 3 consecutive batches)
+    # 6 equal micro-batches: 2 warm-up (JIT/codegen), 4 timed
     batch = n_events // 6
     warm = 2 * batch
     pipe.run(end_lsn=warm, batch_size=batch)
@@ -102,41 +124,65 @@ def query_bench(cpus: int, sf_dir: str) -> dict:
     return out
 
 
-def _subprocess(mode: str, cpus: int) -> dict:
-    """Run one bench stage in a fresh interpreter (own JVM)."""
-    code = (
-        "import json, sys; sys.path.insert(0, {repo!r}); import bench; "
-        "print('@RESULT@' + json.dumps("
-        "bench.merge_bench({cpus}, {n}) if {mode!r} == 'merge' else bench.query_bench({cpus}, {sf!r})))"
-    ).format(repo=os.path.dirname(os.path.abspath(__file__)), cpus=cpus, n=N_EVENTS, mode=mode, sf=SF_DIR)
-    proc = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True, timeout=3600
-    )
+def _run_stage(code: str, pin_cpus: int | None) -> dict:
+    cmd = [sys.executable, "-c", code]
+    if pin_cpus is not None and shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{pin_cpus - 1}"] + cmd
+    proc = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
     for line in proc.stdout.splitlines():
         if line.startswith("@RESULT@"):
             return json.loads(line[len("@RESULT@"):])
-    raise RuntimeError(f"bench subprocess ({mode}, {cpus}) failed:\n{proc.stderr[-2000:]}")
+    raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-2000:]}")
+
+
+def _merge_subprocess(cpus: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        f"import json, sys; sys.path.insert(0, {repo!r}); import bench; "
+        f"print('@RESULT@' + json.dumps(bench.merge_bench({cpus}, {N_EVENTS})))"
+    )
+    return _run_stage(code, pin_cpus=cpus)
+
+
+def _query_subprocess(cpus: int) -> dict:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        f"import json, sys; sys.path.insert(0, {repo!r}); import bench; "
+        f"print('@RESULT@' + json.dumps(bench.query_bench({cpus}, {SF_DIR!r})))"
+    )
+    return _run_stage(code, pin_cpus=None)
 
 
 def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
-    big = _subprocess("merge", CPUS)
+    small_cpus = max(CPUS // 4, 1)
+    levels = [CPUS, small_cpus] if RUN_SCALING else [CPUS]
+    samples: dict[int, list[dict]] = {c: [] for c in levels}
+    for _ in range(REPEATS):
+        for c in levels:  # interleaved: environment drift hits both levels
+            samples[c].append(_merge_subprocess(c))
+    med = {
+        c: statistics.median(s["events_per_sec"] for s in samples[c]) for c in levels
+    }
     result = {
         "metric": "change_events_per_sec_merge",
-        "value": big["events_per_sec"],
+        "value": med[CPUS],
         "unit": "events/sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "merge": {f"cpus_{CPUS}": big},
-        "queries": {},
+        "merge": {
+            f"cpus_{c}": {
+                "median_events_per_sec": med[c],
+                "samples": [s["events_per_sec"] for s in samples[c]],
+                "events_per_run": samples[c][0]["events"],
+            }
+            for c in levels
+        },
     }
     if RUN_SCALING:
-        small_cpus = max(CPUS // 4, 1)
-        small = _subprocess("merge", small_cpus)
-        result["merge"][f"cpus_{small_cpus}"] = small
         result["scaling_efficiency"] = round(
-            (big["events_per_sec"] / small["events_per_sec"]) / (CPUS / small_cpus), 3
+            (med[CPUS] / med[small_cpus]) / (CPUS / small_cpus), 3
         )
-    result["queries"] = _subprocess("query", CPUS)
+    result["queries"] = _query_subprocess(CPUS)
     result["total_query_sec"] = round(sum(result["queries"].values()), 3)
     print(json.dumps(result))
 

@@ -1,0 +1,121 @@
+"""File-format sources: the CSV / JSON / XML-ish / text scan surface.
+
+Reference: CsvSource (/root/reference/silk-plugins/silk-plugins-csv/
+.../csv/CsvSource.scala:24-418 — separator detection, header
+handling, array-value splitting, per-row URI generation),
+TextFileDataset (.../text/TextFileDataset.scala), JsonDataset
+(silk-plugins-json/.../JsonDataset.scala) and BulkDataSource
+(silk-core/.../dataset/bulk/BulkDataSource.scala).
+
+Spark-first: `spark.read.*` does scanning/schema inference; this layer
+adds only Silk's semantic extras — stable row URIs, multi-value cell
+splitting, sampling/peek, and glob-union bulk reads.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def with_row_uri(df: DataFrame, prefix: str = "urn:row:", id_col: str = "_uri") -> DataFrame:
+    """Stable per-row URI (CsvSource's row-number URIs). Content-hashed
+    rather than positional: positional ids are partitioning-dependent,
+    content hashes survive any re-read order."""
+    h = F.md5(F.to_json(F.struct(*[F.col(c) for c in df.columns])))
+    return df.withColumn(id_col, F.concat(F.lit(prefix), h))
+
+
+def csv_source(
+    spark: SparkSession,
+    path: str,
+    header: bool = True,
+    sep: str = ",",
+    array_separator: str | None = None,
+    infer_schema: bool = True,
+    uri_prefix: str | None = None,
+) -> DataFrame:
+    """CSV scan; `array_separator` splits every string cell into
+    array<string> (Silk's multi-valued cells, Entity.scala:38)."""
+    df = (
+        spark.read.option("header", header)
+        .option("sep", sep)
+        .option("inferSchema", infer_schema)
+        .csv(path)
+    )
+    if array_separator is not None:
+        for f in df.schema.fields:
+            if f.dataType.simpleString() == "string":
+                df = df.withColumn(f.name, F.split(F.col(f.name), array_separator))
+    if uri_prefix is not None:
+        df = with_row_uri(df, uri_prefix)
+    return df
+
+
+def json_source(
+    spark: SparkSession,
+    path: str,
+    base_path: str | None = None,
+    multiline: bool = True,
+) -> DataFrame:
+    """JSON scan with Silk-style base-path navigation (JsonTraverser):
+    `base_path` like "a/b" selects-and-explodes into nested records."""
+    df = spark.read.option("multiLine", multiline).json(path)
+    if base_path:
+        for step in base_path.strip("/").split("/"):
+            if df.schema[step].dataType.typeName() == "array":
+                df = df.select(F.explode(step).alias(step))
+            if df.schema[step].dataType.typeName() == "struct":
+                df = df.select(f"{step}.*")
+            else:
+                df = df.select(step)
+    return df
+
+
+def text_source(spark: SparkSession, path: str, whole_file: bool = True) -> DataFrame:
+    """Whole-file-as-entity (TextFileDataset) or line-per-row."""
+    return spark.read.option("wholetext", whole_file).text(path).withColumnRenamed("value", "text")
+
+
+def bulk_source(spark: SparkSession, fmt: str, *paths: str, **options) -> DataFrame:
+    """Glob/multi-path union read (BulkDataSource's zip-of-files,
+    reborn as Spark's native multi-path scan — partition-parallel,
+    no driver-side iteration)."""
+    reader = spark.read
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return getattr(reader, fmt)(list(paths))
+
+
+def sample_source(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
+    """SamplingDataSource: bounded random sample (without replacement),
+    deterministic under the seed."""
+    frac = min(1.0, n / max(df.count(), 1) * 1.3)
+    return df.sample(fraction=frac, seed=seed).limit(n)
+
+
+def peek_source(df: DataFrame, n: int = 20) -> DataFrame:
+    """PeakDataSource: cheap preview — limit pushes into the scan."""
+    return df.limit(n)
+
+
+def profile_source(df: DataFrame) -> DataFrame:
+    """SchemaExtractionSource / SampleValueAnalyzer: per-column type,
+    null coverage and distinct estimate in ONE aggregate pass."""
+    aggs = []
+    for f in df.schema.fields:
+        c = f.name
+        aggs += [
+            F.count(F.col(c)).alias(f"{c}__nonnull"),
+            F.approx_count_distinct(F.col(c)).alias(f"{c}__distinct"),
+        ]
+    total = df.count()
+    row = df.agg(*aggs).first()
+    out = [
+        (f.name, f.dataType.simpleString(), total,
+         int(row[f"{f.name}__nonnull"]), int(row[f"{f.name}__distinct"]))
+        for f in df.schema.fields
+    ]
+    return df.sparkSession.createDataFrame(
+        out, "column string, dtype string, rows bigint, nonnull bigint, approx_distinct bigint"
+    )

@@ -40,11 +40,41 @@ import os
 import shutil
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from silk_spark.operators.dedup import latest_by_key
 from silk_spark.schema import SchemaRegistry, TableSchema, align_to_schema
+
+def _bucket_stats_from_footers(snap_dir: str) -> tuple[list[int], dict]:
+    """Per-bucket row counts from the written parquet footers — local
+    metadata reads (thread-pooled), no Spark job."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    changed, stats = [], {}
+    if not os.path.isdir(snap_dir):
+        return changed, stats
+
+    def count_bucket(entry: str) -> tuple[str, int]:
+        b = entry.split("=", 1)[1]
+        bdir = os.path.join(snap_dir, entry)
+        n = sum(
+            pq.ParquetFile(os.path.join(bdir, f)).metadata.num_rows
+            for f in os.listdir(bdir)
+            if f.endswith(".parquet")
+        )
+        return b, n
+
+    entries = [e for e in os.listdir(snap_dir) if e.startswith("_bucket=")]
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        for b, n in pool.map(count_bucket, entries):
+            if n > 0:
+                changed.append(int(b))
+                stats[b] = n
+    return sorted(changed), stats
+
 
 KEYS = ["conv_id", "turn_idx"]
 VERSION_ORDER = ["ts", "lsn"]
@@ -75,7 +105,9 @@ class LakeTable:
         key_cols: list[str] | None = None,
         version_cols: list[str] | None = None,
         n_buckets: int = 32,
+        merge_mode: str = "cow",
     ) -> "LakeTable":
+        assert merge_mode in ("cow", "mor")
         t = LakeTable(spark, root)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -85,6 +117,7 @@ class LakeTable:
             "key_cols": key_cols or KEYS,
             "version_cols": version_cols or VERSION_ORDER,
             "n_buckets": n_buckets,
+            "merge_mode": merge_mode,
             "registry": registry.to_dict(),
             "current_snapshot_id": None,
             "snapshots": [],
@@ -148,10 +181,23 @@ class LakeTable:
         snap = self.current_snapshot()
         return {} if snap is None else snap["files"]
 
-    def scan(self, buckets: list[int] | None = None, with_tombstones: bool = True) -> DataFrame:
+    def scan(
+        self,
+        buckets: list[int] | None = None,
+        with_tombstones: bool = True,
+        resolve: bool | None = None,
+    ) -> DataFrame:
         """Read the table (optionally pruned to a bucket subset). Old
         data files are aligned to the current schema (missing columns
-        -> NULL, widened types -> cast): the column-ID mapped read."""
+        -> NULL, widened types -> cast): the column-ID mapped read.
+
+        `resolve` applies the max-by-version reduction per key — the
+        merge-on-read step. Defaults to True for a MOR table (delta
+        files carry multiple versions per key), False for COW (files
+        are already resolved at write time)."""
+        meta = self.meta
+        if resolve is None:
+            resolve = meta.get("merge_mode", "cow") == "mor"
         files_by_bucket = self._bucket_files()
         if buckets is not None:
             wanted = {str(b) for b in buckets}
@@ -163,15 +209,21 @@ class LakeTable:
             return self.spark.createDataFrame([], empty_ddl)
         # no mergeSchema: align_to_schema below projects every file onto
         # the current registry schema, so per-file footer merging on the
-        # driver would be pure overhead (it scales with file count)
-        df = self.spark.read.option("basePath", self.data_dir).parquet(*all_files)
-        # partition dir gives _bucket=<b>; align payload cols to the
-        # current schema in the same projection
+        # driver would be pure overhead (it scales with file count).
+        # No basePath/partition inference either — MOR delta files for
+        # one bucket live under several snap-N dirs, which Spark's dir
+        # inference rejects; _bucket is recomputed from the key hash
+        # (deterministic, same expression the writer used).
+        df = self.spark.read.parquet(*all_files)
         cols = [
             (F.col(c.name).cast(c.dtype) if c.name in df.columns else F.lit(None).cast(c.dtype)).alias(c.name)
             for c in schema.columns
         ]
-        aligned = df.select(*cols, F.col("_bucket").cast("int").alias("_bucket"))
+        aligned = df.select(
+            *cols, bucket_expr(meta["key_cols"][0], meta["n_buckets"]).alias("_bucket")
+        )
+        if resolve:
+            aligned = latest_by_key(aligned, meta["key_cols"], meta["version_cols"])
         if not with_tombstones and "op" in schema.names():
             aligned = aligned.filter((F.col("op").isNull()) | (F.col("op") != "D"))
         return aligned
@@ -188,15 +240,28 @@ class LakeTable:
         batch_id: str,
         extra_summary: dict | None = None,
     ) -> dict:
-        """Idempotent copy-on-write MERGE of one micro-batch.
+        """Idempotent MERGE of one micro-batch.
 
         `changes` must carry key_cols + version_cols + 'op' (+payload).
         Steps: (1) skip if batch_id already committed; (2) dedup to the
-        latest event per key (max-by version); (3) rewrite only touched
-        buckets, resolving base-vs-change by max version so replay and
-        out-of-order batches converge to the same state; (4) atomically
-        commit a new snapshot whose summary embeds batch_id + lineage.
-        Returns the snapshot summary (or the prior one if skipped).
+        latest event per key (max-by version); (3) apply per the table's
+        merge_mode; (4) atomically commit a new snapshot whose summary
+        embeds batch_id + lineage. Returns the snapshot summary (or the
+        prior one if skipped).
+
+        merge_mode (Iceberg v2 semantics):
+          * "cow" — copy-on-write: rewrite only touched buckets,
+            resolving base-vs-change by max version. Write cost is
+            O(touched table data); reads are plain scans.
+          * "mor" — merge-on-read: append the deduped batch as delta
+            files per bucket — write cost O(batch), no base read; scans
+            resolve versions on the fly until `compact()` folds deltas.
+            At 10^10 events/day this is the only write path that keeps
+            MERGE throughput independent of table size.
+
+        Either mode converges to the same state under replay and
+        out-of-order batches (the max-by-(ts,lsn) rule is associative
+        and commutative over any batch slicing).
         """
         meta = dict(self.meta)
         if batch_id in meta["committed_batches"]:
@@ -205,6 +270,7 @@ class LakeTable:
         keys = meta["key_cols"]
         order = meta["version_cols"]
         n_buckets = meta["n_buckets"]
+        mode = meta.get("merge_mode", "cow")
 
         # schema evolution: add new incoming columns / widen types
         registry = SchemaRegistry.from_dict(meta["registry"])
@@ -216,52 +282,83 @@ class LakeTable:
         changes = latest_by_key(changes, keys, order)
         changes = changes.withColumn("_bucket", bucket_expr(keys[0], n_buckets))
 
-        # lineage BEFORE the write: per-bucket applied counts + op mix
-        stats_rows = (
-            changes.groupBy("_bucket")
-            .agg(
-                F.count("*").alias("rows"),
-                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
-            )
-            .collect()
-        )
-        changed_buckets = sorted(int(r["_bucket"]) for r in stats_rows)
-        partition_stats = {str(r["_bucket"]): int(r["rows"]) for r in stats_rows}
-        rows_in_batch = sum(partition_stats.values())
-        rows_deleted = int(sum(r["deletes"] for r in stats_rows))
-
         snap_id = (meta["current_snapshot_id"] or 0) + 1
         snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
 
-        if changed_buckets:
-            base = self.scan(buckets=changed_buckets)
-            merged = latest_by_key(
-                base.unionByName(changes, allowMissingColumns=True), keys, order
+        if mode == "mor":
+            # ONE Spark job per micro-batch: lineage rides the write via
+            # an Observation on the deduped stream (no separate stats
+            # job, no cache); per-bucket counts come from the freshly
+            # written parquet footers (local metadata reads). At high
+            # batch rates the per-batch fixed cost IS the throughput
+            # ceiling, so job count matters more than anything else.
+            obs = Observation()
+            out = changes.observe(
+                obs,
+                F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
             )
-            # one output file set per bucket; repartition by bucket keeps
-            # each parquet dir written by the executors owning that hash range
             (
-                merged.repartition(max(len(changed_buckets), 1), "_bucket")
+                out.repartition(n_buckets, "_bucket")
                 .write.mode("overwrite")
                 .partitionBy("_bucket")
                 .parquet(snap_dir)
             )
+            rows_in_batch = int(obs.get["rows"] or 0)
+            rows_deleted = int(obs.get["deletes"] or 0)
+            changed_buckets, partition_stats = _bucket_stats_from_footers(snap_dir)
+        else:
+            # COW needs the touched-bucket set BEFORE it can scan the
+            # base side, so it is inherently two jobs; cache the deduped
+            # batch so the aggregate isn't computed twice
+            changes = changes.cache()
+            stats_rows = (
+                changes.groupBy("_bucket")
+                .agg(
+                    F.count("*").alias("rows"),
+                    F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
+                )
+                .collect()
+            )
+            changed_buckets = sorted(int(r["_bucket"]) for r in stats_rows)
+            partition_stats = {str(r["_bucket"]): int(r["rows"]) for r in stats_rows}
+            rows_in_batch = sum(partition_stats.values())
+            rows_deleted = int(sum(r["deletes"] for r in stats_rows))
+            if changed_buckets:
+                base = self.scan(buckets=changed_buckets)
+                out = latest_by_key(
+                    base.unionByName(changes, allowMissingColumns=True), keys, order
+                )
+                # one output file set per bucket; repartition by bucket keeps
+                # each parquet dir written by the executors owning that hash range
+                (
+                    out.repartition(max(len(changed_buckets), 1), "_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(snap_dir)
+                )
+            changes.unpersist()
 
-        # build new file manifest: carry-over + rewritten buckets
-        files = dict(self._bucket_files())
+        # build new file manifest: COW replaces touched buckets' files,
+        # MOR appends delta files to them
+        files = {b: list(fs) for b, fs in self._bucket_files().items()}
         for b in changed_buckets:
             bdir = os.path.join(snap_dir, f"_bucket={b}")
-            files[str(b)] = [
+            new_files = [
                 os.path.join(bdir, f)
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             ]
+            if mode == "mor":
+                files[str(b)] = files.get(str(b), []) + new_files
+            else:
+                files[str(b)] = new_files
 
         summary = {
             "snapshot_id": snap_id,
             "parent_id": meta["current_snapshot_id"],
             "batch_id": batch_id,
-            "operation": "merge",
+            "operation": "merge" if mode == "cow" else "merge-mor",
             "schema_id": schema.schema_id,
             "rows_in_batch": rows_in_batch,
             "rows_deleted": rows_deleted,
@@ -317,10 +414,16 @@ class LakeTable:
         self._write_meta(meta, version=self._meta_version + 1)
         return summary
 
-    def compact(self) -> dict:
-        """Drop tombstones and rewrite every bucket (maintenance)."""
-        live = self.scan(with_tombstones=False)
-        return self.overwrite(live.drop("_bucket"), batch_id=f"compact-{uuid.uuid4().hex[:8]}")
+    def compact(self, drop_tombstones: bool = False) -> dict:
+        """Fold every bucket's files into one resolved file set (the
+        MOR maintenance job; harmless no-op semantics on COW).
+
+        Tombstones are KEPT by default: a future batch may still carry
+        an older-version event for a deleted key, and the tombstone's
+        version is what out-merges it. Drop them only when the log is
+        fully consumed (terminal compaction)."""
+        resolved = self.scan(with_tombstones=not drop_tombstones, resolve=True)
+        return self.overwrite(resolved.drop("_bucket"), batch_id=f"compact-{uuid.uuid4().hex[:8]}")
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)

@@ -42,7 +42,11 @@ def transcripts_schema(with_tool: bool = False) -> TableSchema:
 
 
 def create_transcripts_table(
-    spark: SparkSession, root: str, n_buckets: int = 32, with_tool: bool = False
+    spark: SparkSession,
+    root: str,
+    n_buckets: int = 32,
+    with_tool: bool = False,
+    merge_mode: str = "cow",
 ) -> LakeTable:
     return LakeTable.create(
         spark,
@@ -51,6 +55,7 @@ def create_transcripts_table(
         key_cols=KEYS,
         version_cols=VERSION_ORDER,
         n_buckets=n_buckets,
+        merge_mode=merge_mode,
     )
 
 
@@ -130,14 +135,19 @@ class CdcPipeline:
         start_lsn: int | None = None,
         max_batches: int | None = None,
         stop_after: int | None = None,
+        compact_every: int | None = None,
     ) -> list[dict]:
         """Process [start_lsn, end_lsn) in `batch_size` slices; resume
         from the checkpoint pointer when start_lsn is None. `stop_after`
-        simulates a crash after k batches (for resume tests)."""
+        simulates a crash after k batches (for resume tests).
+        `compact_every` folds MOR delta files every k applied batches —
+        bounds read amplification on a long-running tail (file count
+        per bucket stays <= k + 1)."""
         start = self.resume_lsn() if start_lsn is None else start_lsn
         log = self._log()
         results = []
         batch_no = 0
+        applied = 0
         lo = start
         while lo < end_lsn:
             hi = min(lo + batch_size, end_lsn)
@@ -148,6 +158,10 @@ class CdcPipeline:
             )
             results.append(summary)
             batch_no += 1
+            if not summary.get("skipped"):
+                applied += 1
+                if compact_every and applied % compact_every == 0:
+                    self.table.compact()
             lo = hi
             if stop_after is not None and batch_no >= stop_after:
                 break

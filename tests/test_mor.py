@@ -1,0 +1,84 @@
+"""Merge-on-read mode: replay equality with COW, exactly-once,
+compaction invariance, O(batch) write behavior."""
+
+import os
+
+import pandas as pd
+import pytest
+
+from silk_spark.checkpoint import CheckpointStore
+from silk_spark.datagen import changelog
+from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
+
+from tests.conftest import final_state_oracle, normalize
+
+
+@pytest.fixture(scope="module")
+def log(spark):
+    return changelog(spark, 3000, n_convs=60, turns_per_conv=8, seed=21)
+
+
+def _run(spark, log, root, mode, batch_size=700):
+    t = create_transcripts_table(spark, os.path.join(root, f"t_{mode}_{batch_size}"), n_buckets=8, merge_mode=mode)
+    cp = CheckpointStore(os.path.join(root, f"cp_{mode}_{batch_size}"))
+    CdcPipeline(spark, t, cp, changelog=log).run(end_lsn=3000, batch_size=batch_size)
+    return t
+
+
+def test_mor_matches_oracle_and_cow(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor"))
+    t_mor = _run(spark, log, root, "mor")
+    t_cow = _run(spark, log, root, "cow")
+    want = normalize(final_state_oracle(log.toPandas()))
+    got_mor = normalize(t_mor.read().toPandas())
+    got_cow = normalize(t_cow.read().toPandas())
+    pd.testing.assert_frame_equal(got_mor, want)
+    pd.testing.assert_frame_equal(got_cow, want)
+
+
+def test_mor_batch_slicing_invariance(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_slice"))
+    a = normalize(_run(spark, log, root, "mor", batch_size=500).read().toPandas())
+    b = normalize(_run(spark, log, root, "mor", batch_size=1700).read().toPandas())
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_mor_exactly_once_replay(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_once"))
+    t = _run(spark, log, root, "mor")
+    cp = CheckpointStore(os.path.join(root, "cp2"))
+    pipe = CdcPipeline(spark, t, cp, changelog=log)
+    results = pipe.run(end_lsn=3000, batch_size=700, start_lsn=0)
+    assert all(r.get("skipped") for r in results)
+
+
+def test_mor_appends_not_rewrites(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_files"))
+    t = _run(spark, log, root, "mor")
+    # every batch's delta files survive in the manifest (append-only)
+    snaps = t.meta["snapshots"]
+    assert len(snaps) >= 4
+    per_snapshot_files = [sum(len(v) for v in s["files"].values()) for s in snaps]
+    assert per_snapshot_files == sorted(per_snapshot_files)  # monotone growth
+
+
+def test_mor_compaction_preserves_state(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_compact"))
+    t = _run(spark, log, root, "mor")
+    before = normalize(t.read().toPandas())
+    t.compact()
+    after = normalize(t.refresh().read().toPandas())
+    pd.testing.assert_frame_equal(before, after)
+    # compaction folded every bucket to a single file set
+    files = t.meta["snapshots"][-1]["files"]
+    assert all(len(v) <= 2 for v in files.values())
+
+
+def test_mor_compaction_keeps_tombstones_by_default(spark, log, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("mor_tomb"))
+    t = _run(spark, log, root, "mor")
+    t.compact()
+    t.refresh()
+    with_t = t.scan(with_tombstones=True).count()
+    without_t = t.scan(with_tombstones=False).count()
+    assert with_t > without_t  # deletes retained as tombstones

@@ -1,0 +1,96 @@
+"""Physical-plan shape guards: the scale posture is load-bearing.
+
+These tests pin the properties SURVEY.md §4 claims are 'free from
+Catalyst' — if a refactor breaks pushdown, pruning or broadcast
+placement, correctness tests won't notice but 100TB behavior changes
+completely. So the plans themselves are asserted."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def sf(spark):
+    return "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_lsn_filter_pushed_to_parquet_scan(spark, tmp_path_factory):
+    """The micro-batch lsn-range filter must reach the parquet source
+    (row-group min/max pruning on a sorted log = skip untouched files)."""
+    d = str(tmp_path_factory.mktemp("log"))
+    from silk_spark.datagen import changelog
+
+    changelog(spark, 1000, seed=1).write.mode("overwrite").parquet(d)
+    df = spark.read.parquet(d).filter((F.col("lsn") >= 100) & (F.col("lsn") < 200))
+    plan = plan_of(df)
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(lsn,100)" in plan and "LessThan(lsn,200)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf):
+    df = spark.read.parquet(os.path.join(sf, "lineitem.parquet")).select("l_orderkey")
+    plan = plan_of(df)
+    assert "ReadSchema" in plan
+    # only the projected column is read
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_star_join_broadcasts_dims(spark, sf):
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_agg_revenue_by_nation(spark, sf))
+    assert plan.count("BroadcastHashJoin") >= 3  # customer, nation, region
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_uses_partial_aggregation(spark, sf):
+    """latest_by_key must plan as hash-aggregate with a map-side
+    partial (duplicates collapse before the shuffle) — not a window
+    sort (no partial agg, full sort per partition)."""
+    from silk_spark.datagen import changelog
+    from silk_spark.operators.dedup import latest_by_key
+
+    df = latest_by_key(changelog(spark, 1000, seed=2))
+    plan = plan_of(df)
+    # max_by over a string-bearing struct buffer plans as SortAggregate;
+    # what matters at scale is the PARTIAL phase before the exchange
+    # (duplicates collapse pre-shuffle), which shows as two aggregate
+    # nodes with the Exchange between them
+    n_aggs = plan.count("HashAggregate") + plan.count("SortAggregate")
+    assert n_aggs >= 2 and "Exchange" in plan
+    assert "Window" not in plan
+
+
+def test_whole_stage_codegen_covers_measures(spark, sf):
+    """Measure expressions must stay inside WholeStageCodegen (JVM),
+    not fall out to Python evaluation."""
+    from silk_spark.functions.measures import distance
+
+    part = spark.read.parquet(os.path.join(sf, "part.parquet"))
+    df = part.select(
+        distance("levenshteinDistance", F.col("p_name"), F.col("p_brand")).alias("d"),
+        distance("jaccard", F.split("p_name", " "), F.split("p_brand", " ")).alias("j"),
+    )
+    plan = plan_of(df)
+    # formatted explain marks codegen stages with "[codegen id : N]"
+    assert "codegen id" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_blocked_join_is_shuffle_hash_or_smj_on_block(spark):
+    """Candidate generation must be an equi-join on the exploded block
+    id (never a nested-loop / cartesian plan)."""
+    from silk_spark.operators.blocking import candidate_pairs, qgram_blocks
+
+    left = spark.createDataFrame([("1", "abc")], "id string, name string")
+    right = spark.createDataFrame([("2", "abd")], "id string, name string")
+    pairs = candidate_pairs(left, right, qgram_blocks(F.col("name")), qgram_blocks(F.col("name")))
+    plan = plan_of(pairs)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan

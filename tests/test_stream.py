@@ -12,7 +12,7 @@ from silk_spark.datagen import changelog
 from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
 from silk_spark.streaming.stream import run_stream_to_completion
 
-from .conftest import final_state_oracle, normalize
+from tests.conftest import final_state_oracle, normalize
 
 
 @pytest.fixture
