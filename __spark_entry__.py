@@ -69,6 +69,23 @@ def _ev_op():
 _EV_OP_SQL = "CASE WHEN event_type='signup' THEN 'I' WHEN event_type='error' THEN 'D' ELSE 'U' END"
 
 
+
+def _ntz_epoch_seconds(c) -> "F.Column":
+    """Wall-clock epoch seconds (with fractional micros) for a
+    TIMESTAMP_NTZ column — TZ-free in ANY session timezone (casting
+    NTZ to double is illegal, and unix_timestamp would go through the
+    session zone). Matches DuckDB's epoch(ts) on naive timestamps."""
+    days = F.datediff(c.cast("date"), F.lit("1970-01-01").cast("date"))
+    micros = F.date_format(c, "SSSSSS").cast("double") / 1e6
+    return (
+        days.cast("double") * 86400.0
+        + F.hour(c) * 3600.0
+        + F.minute(c) * 60.0
+        + F.second(c)
+        + micros
+    )
+
+
 def q_cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Max-by-(ts, event_id) winner per (user_id, event_type) — the
     dedup window of the MERGE pipeline on the driver's stream table."""
@@ -141,7 +158,7 @@ def q_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     pairs = candidate_pairs(
-        part, None, key_block(F.col("p_brand")), self_key="p_partkey"
+        part, None, key_block(F.col("p_brand")), self_key="p_partkey", dedup_pairs=False
     ).filter(F.col("left_p_brand") == F.col("right_p_brand"))
     rule = LinkageRule(Comparison("levenshteinDistance", "p_name", threshold=2.0))
     return score_pairs(pairs, rule).select(
@@ -407,6 +424,83 @@ def q_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) per user — the
+    classic streaming/event-analytics operator, expressed as
+    lag + cumulative-sum windows (no state store needed in batch)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", _ntz_epoch_seconds(F.col("ts")).alias("ts_s")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gapped = ev.withColumn(
+        "new_session",
+        F.when(F.col("ts_s") - F.lag("ts_s").over(w) > 1800.0, 1).otherwise(0),
+    )
+    sess = gapped.withColumn("session_no", F.sum("new_session").over(w))
+    return (
+        sess.groupBy("user_id", "session_no")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("first_event_id"),
+            F.max("event_id").alias("last_event_id"),
+            F.round(F.max("ts_s") - F.min("ts_s"), 3).alias("duration_s"),
+        )
+        .select("user_id", "session_no", "n_events", "first_event_id", "last_event_id", "duration_s")
+    )
+
+
+def q_allen_relations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Allen interval algebra (reference silk-plugins-spatial-temporal
+    temporal/relation/*.scala): classify activity-interval pairs of
+    the first 20 users into the 13 relations."""
+    from silk_spark.functions.temporal import allen_relation
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    iv = ev.groupBy("user_id").agg(
+        F.min(_ntz_epoch_seconds(F.col("ts"))).alias("s"),
+        F.max(_ntz_epoch_seconds(F.col("ts"))).alias("e"),
+    )
+    l = iv.select(F.col("user_id").alias("u1"), F.col("s").alias("s1"), F.col("e").alias("e1"))
+    r = iv.select(F.col("user_id").alias("u2"), F.col("s").alias("s2"), F.col("e").alias("e2"))
+    pairs = l.crossJoin(r).filter(F.col("u1") < F.col("u2"))
+    return pairs.select(
+        "u1", "u2",
+        allen_relation(F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2")).alias("relation"),
+    )
+
+
+def q_transform_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TransformSpec with validation quarantine (reference
+    TransformedEntities error capture): rules project/validate event
+    fields; failing rules null out and tag the row."""
+    from silk_spark.operators.transform_spec import TransformSpec
+
+    ev = _t(spark, sf_dir, "events")
+    spec = (
+        TransformSpec()
+        .uri(["event_id"], prefix="urn:event:")
+        .direct("event_id", "event_id")
+        .complex(
+            "value_ok",
+            lambda df: F.col("value"),
+            validate=lambda c: (c >= 0.0) & (c <= 15.0),
+        )
+        .complex(
+            "type_ok",
+            lambda df: F.col("event_type"),
+            validate=lambda c: c.rlike("^(click|view|purchase|signup)$"),
+        )
+    )
+    out, _obs = spec.execute(ev)
+    return out.select(
+        "_uri",
+        "event_id",
+        F.round("value_ok", 2).alias("value_ok"),
+        "type_ok",
+        F.array_join("_errors", ",").alias("errors"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_by_key": q_cdc_latest_by_key,
@@ -433,6 +527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "measure_catalog": q_measure_catalog,
         "filter_pushdown": q_filter_pushdown,
         "profile_stats": q_profile_stats,
+        "events_sessionize": q_events_sessionize,
+        "allen_relations": q_allen_relations,
+        "transform_validate": q_transform_validate,
     }
 
 
@@ -681,6 +778,58 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
   AND l_shipdate < TIMESTAMP '1998-01-01'
   AND l_returnflag = 'R'
 GROUP BY l_suppkey
+""",
+        "events_sessionize": """
+WITH e AS (
+  SELECT user_id, event_id, epoch(ts) AS ts_s FROM events
+), g AS (
+  SELECT user_id, event_id, ts_s,
+         CASE WHEN ts_s - lag(ts_s) OVER w > 1800.0 THEN 1 ELSE 0 END AS new_session
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), sess AS (
+  SELECT user_id, event_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM g
+)
+SELECT user_id, session_no, count(*) AS n_events,
+       min(event_id) AS first_event_id, max(event_id) AS last_event_id,
+       round(max(ts_s) - min(ts_s), 3) AS duration_s
+FROM sess GROUP BY user_id, session_no
+""",
+        "allen_relations": """
+WITH iv AS (
+  SELECT user_id, min(epoch(ts)) AS s, max(epoch(ts)) AS e
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT l.user_id AS u1, r.user_id AS u2,
+       (SELECT CASE
+  WHEN l.e < r.s THEN 'before'
+  WHEN l.s > r.e THEN 'after'
+  WHEN l.e = r.s THEN 'meets'
+  WHEN l.s = r.e THEN 'metBy'
+  WHEN l.s < r.s AND l.e > r.s AND l.e < r.e THEN 'overlaps'
+  WHEN r.s < l.s AND r.e > l.s AND r.e < l.e THEN 'overlappedBy'
+  WHEN l.s = r.s AND l.e < r.e THEN 'starts'
+  WHEN l.s = r.s AND l.e > r.e THEN 'startedBy'
+  WHEN l.s > r.s AND l.e < r.e THEN 'during'
+  WHEN l.s < r.s AND l.e > r.e THEN 'contains'
+  WHEN l.e = r.e AND l.s > r.s THEN 'finishes'
+  WHEN l.e = r.e AND l.s < r.s THEN 'finishedBy'
+  WHEN l.s = r.s AND l.e = r.e THEN 'equals'
+  ELSE NULL END) AS relation
+FROM iv l JOIN iv r ON l.user_id < r.user_id
+""",
+        "transform_validate": """
+SELECT 'urn:event:' || CAST(event_id AS VARCHAR) AS _uri,
+       event_id,
+       CASE WHEN value BETWEEN 0.0 AND 15.0 THEN round(value, 2) END AS value_ok,
+       CASE WHEN regexp_matches(event_type, '^(click|view|purchase|signup)$') THEN event_type END AS type_ok,
+       concat_ws(',',
+         CASE WHEN NOT (value BETWEEN 0.0 AND 15.0) THEN 'value_ok' END,
+         CASE WHEN NOT regexp_matches(event_type, '^(click|view|purchase|signup)$') THEN 'type_ok' END
+       ) AS errors
+FROM events
 """,
         "profile_stats": """
 SELECT lang, source, count(*) AS n_docs,

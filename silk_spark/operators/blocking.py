@@ -148,6 +148,7 @@ def candidate_pairs(
     right_index: Column | None = None,
     salt: int = 1,
     self_key: str | None = None,
+    dedup_pairs: bool = True,
 ) -> DataFrame:
     """Blocked candidate join: explode block ids on both sides,
     equi-join on the id, drop duplicate pairs.
@@ -191,4 +192,9 @@ def candidate_pairs(
             lkey = F.xxhash64(*[F.col(f"left_{c}") for c in left.columns])
             rkey = F.xxhash64(*[F.col(f"right_{c}") for c in left.columns])
             pairs = pairs.filter(lkey < rkey)
-    return pairs.dropDuplicates([c for c in pairs.columns])
+    # single-block indexes (key_block/composite_block, salt=1) cannot
+    # produce duplicate pairs — callers pass dedup_pairs=False to skip
+    # the extra shuffle
+    if dedup_pairs:
+        pairs = pairs.dropDuplicates([c for c in pairs.columns])
+    return pairs

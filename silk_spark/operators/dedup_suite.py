@@ -89,6 +89,34 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
     return F.when(union == 0, F.lit(1.0)).otherwise(inter / union)
 
 
+
+def _verified_pairs(
+    df, exploded_ids, shingles, threshold: float
+):
+    """Shared tail of every candidate-based dedup: candidates as BARE
+    ID pairs (explode -> equi-join -> a.id < b.id -> dropDuplicates),
+    then re-attach each side's shingles with two joins and verify with
+    exact Jaccard. Deduping narrow id pairs instead of rows carrying
+    shingle arrays keeps the candidate shuffle tiny — the arrays cross
+    the wire only |pairs| times, not |candidates| times."""
+    l = exploded_ids.select(F.col("id").alias("left_id"), "_block")
+    r = exploded_ids.select(F.col("id").alias("right_id"), "_block")
+    cand = (
+        l.join(r, "_block")
+        .filter(F.col("left_id") < F.col("right_id"))
+        .select("left_id", "right_id")
+        .dropDuplicates(["left_id", "right_id"])
+    )
+    lsh_side = shingles.select(F.col("id").alias("left_id"), F.col("sh").alias("left_sh"))
+    rsh_side = shingles.select(F.col("id").alias("right_id"), F.col("sh").alias("right_sh"))
+    pairs = cand.join(lsh_side, "left_id").join(rsh_side, "right_id")
+    return (
+        pairs.withColumn("jaccard", jaccard_similarity(F.col("left_sh"), F.col("right_sh")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -110,23 +138,8 @@ def ngram_jaccard_pairs(
     index = F.array_sort(F.col("sh"))
     if prefix is not None:
         index = F.slice(index, 1, prefix)
-    exploded = docs.select("id", "sh", F.explode(index).alias("_block"))
-    l = exploded.select(
-        F.col("id").alias("left_id"), F.col("sh").alias("left_sh"), "_block"
-    )
-    r = exploded.select(
-        F.col("id").alias("right_id"), F.col("sh").alias("right_sh"), "_block"
-    )
-    pairs = (
-        l.join(r, "_block")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
-    )
-    return (
-        pairs.withColumn("jaccard", jaccard_similarity(F.col("left_sh"), F.col("right_sh")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    exploded = docs.select("id", F.explode(index).alias("_block"))
+    return _verified_pairs(df, exploded, docs, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -178,26 +191,14 @@ def minhash_lsh_pairs(
     assert num_perm % bands == 0
     r = num_perm // bands
     sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, seed)
-    docs = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).join(sigs, "id")
-
     band_ids = F.array(
         *[F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * r + 1, r)) for j in range(bands)]
     )
-    exploded = docs.select("id", "sh", F.explode(band_ids).alias("_block"))
-    l = exploded.select(F.col("id").alias("left_id"), F.col("sh").alias("left_sh"), "_block")
-    rr = exploded.select(F.col("id").alias("right_id"), F.col("sh").alias("right_sh"), "_block")
-    pairs = (
-        l.join(rr, "_block")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
+    exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
+    shingles = df.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    return (
-        pairs.withColumn("jaccard", jaccard_similarity(F.col("left_sh"), F.col("right_sh")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verified_pairs(df, exploded, shingles, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -254,22 +255,11 @@ def simhash_pairs(
     Jaccard verification at `threshold` — precision exact, recall set
     by the band structure."""
     bands = simhash_bands(df, shingle_n=shingle_n, text_col=text_col, id_col=id_col)
-    docs = df.select(
+    exploded = bands.select("id", F.explode("bands").alias("_block"))
+    shingles = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).join(bands, "id")
-    exploded = docs.select("id", "sh", F.explode("bands").alias("_block"))
-    l = exploded.select(F.col("id").alias("left_id"), F.col("sh").alias("left_sh"), "_block")
-    r = exploded.select(F.col("id").alias("right_id"), F.col("sh").alias("right_sh"), "_block")
-    pairs = (
-        l.join(r, "_block")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .dropDuplicates(["left_id", "right_id"])
     )
-    return (
-        pairs.withColumn("jaccard", jaccard_similarity(F.col("left_sh"), F.col("right_sh")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("left_id", "right_id", F.round("jaccard", 6).alias("jaccard"))
-    )
+    return _verified_pairs(df, exploded, shingles, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -277,16 +267,29 @@ def simhash_pairs(
 # ---------------------------------------------------------------------------
 
 
-def cosine_similarity(a: Column, b: Column) -> Column:
-    """JVM-side cosine over array<float/double> via zip_with+aggregate."""
-    dot = F.aggregate(
+def vec_norm(a: Column) -> Column:
+    """L2 norm of an array<float/double> column."""
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double"))
+    )
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")))
-    return dot / (na * nb)
+
+
+def cosine_similarity(a: Column, b: Column, norm_a: Column | None = None, norm_b: Column | None = None) -> Column:
+    """JVM-side cosine via zip_with+aggregate. Pass precomputed norms
+    when scoring many pairs per row side — hoisting the norm from the
+    O(pairs) join to the O(rows) input is bit-identical (same formula,
+    same accumulation order) and removes 2/3 of the arithmetic."""
+    na = vec_norm(a) if norm_a is None else norm_a
+    nb = vec_norm(b) if norm_b is None else norm_b
+    return dot_product(a, b) / (na * nb)
 
 
 def embedding_near_dup_pairs(
@@ -304,10 +307,12 @@ def embedding_near_dup_pairs(
     (candidates share the full sign signature OR one of n_planes
     one-bit-flipped variants — multi-probe) then exact cosine verify.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), vec_norm(F.col(vec_col)).alias("n")
+    )
     if n_planes <= 0:
-        l = base.select(F.col("id").alias("left_id"), F.col("v").alias("lv"))
-        r = base.select(F.col("id").alias("right_id"), F.col("v").alias("rv"))
+        l = base.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"))
+        r = base.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
         pairs = l.crossJoin(r).filter(F.col("left_id") < F.col("right_id"))
     else:
         dim = len(base.first()["v"])
@@ -316,17 +321,20 @@ def embedding_near_dup_pairs(
         probes = F.array(
             *([sig] + [sig.bitwiseXOR(F.lit(1 << j).cast("bigint")) for j in range(n_planes)])
         )
-        exact = base.select("id", "v", sig.alias("_block"))
-        probed = base.select("id", "v", F.explode(probes).alias("_block"))
-        l = probed.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), "_block")
-        r = exact.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), "_block")
+        exact = base.select("id", "v", "n", sig.alias("_block"))
+        probed = base.select("id", "v", "n", F.explode(probes).alias("_block"))
+        l = probed.select(F.col("id").alias("left_id"), F.col("v").alias("lv"), F.col("n").alias("ln"), "_block")
+        r = exact.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"), "_block")
         pairs = (
             l.join(r, "_block")
             .filter(F.col("left_id") < F.col("right_id"))
             .dropDuplicates(["left_id", "right_id"])
         )
     return (
-        pairs.withColumn("cosine", cosine_similarity(F.col("lv"), F.col("rv")))
+        pairs.withColumn(
+            "cosine",
+            cosine_similarity(F.col("lv"), F.col("rv"), F.col("ln"), F.col("rn")),
+        )
         .filter(F.col("cosine") >= threshold)
         .select("left_id", "right_id", F.round("cosine", 6).alias("cosine"))
     )

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from silk_spark.operators.dedup_suite import cosine_similarity
+from silk_spark.operators.dedup_suite import cosine_similarity, vec_norm
 
 
 def brute_force_topk(
@@ -28,13 +28,23 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact cosine top-k: broadcast the smaller side if possible,
     score every (query, corpus) pair, window top-k per query.
-    Deterministic tie-break on corpus id."""
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
+    Deterministic tie-break on corpus id. Norms are hoisted to the
+    O(rows) inputs so the O(pairs) join computes only dot products."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cn"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_similarity(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("match_id").asc()
@@ -89,8 +99,14 @@ def ivf_topk(
     each query to its `nprobe` nearest centroids (broadcast centroid
     table), exact-score only within probed cells, top-k per query."""
     centroids = ivf_build_centroids(corpus, n_centroids, id_col, vec_col)
-    c = corpus.select(F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"))
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
+        vec_norm(F.col(vec_col)).alias("cn"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("qn"),
+    )
 
     # corpus → nearest centroid (broadcast join, no shuffle of the corpus)
     c_scored = c.crossJoin(F.broadcast(centroids)).withColumn(
@@ -100,7 +116,7 @@ def ivf_topk(
     c_assigned = (
         c_scored.withColumn("_r", F.row_number().over(wc))
         .filter(F.col("_r") == 1)
-        .select("match_id", "cv", "centroid_id")
+        .select("match_id", "cv", "cn", "centroid_id")
     )
 
     # query → nprobe nearest centroids
@@ -111,13 +127,16 @@ def ivf_topk(
     q_probed = (
         q_scored.withColumn("_r", F.row_number().over(wq))
         .filter(F.col("_r") <= nprobe)
-        .select("query_id", "qv", "centroid_id")
+        .select("query_id", "qv", "qn", "centroid_id")
     )
 
     scored = (
         q_probed.join(c_assigned, "centroid_id")
         .filter(F.col("query_id") != F.col("match_id"))
-        .withColumn("cosine", cosine_similarity(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "cosine",
+            cosine_similarity(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("match_id").asc())
     return (

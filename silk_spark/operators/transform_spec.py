@@ -1,0 +1,106 @@
+"""TransformSpec executor: mapping rules -> one projection + quarantine.
+
+Reference: TransformRule hierarchy (/root/reference/silk-rules/src/
+main/scala/org/silkframework/rule/TransformRule.scala:33-431 —
+DirectMapping :264-279, PatternUriMapping :289-326, TypeMapping
+:328-341, ComplexMapping :354-374), executed per-entity with error
+capture by TransformedEntities (silk-rules/.../execution/local/
+TransformedEntities.scala:28-174) into a TransformReport.
+
+Spark-first: ALL rules compile into ONE ``select`` projection
+(whole-stage codegen); validation failures don't throw — the rule's
+output goes NULL and an ``_errors`` array column records which rules
+failed, so the quarantine split is a cheap filter and the report is a
+single ``observe`` aggregate (no second pass, no Python)."""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, Observation
+from pyspark.sql import functions as F
+
+
+@dataclass
+class MappingRule:
+    """One output column: a Column builder + optional validator.
+
+    `validate` receives the built column and returns a boolean Column;
+    rows failing it get NULL output + an error tag (the reference's
+    abort-on-error mode is the caller filtering the quarantine)."""
+
+    target: str
+    build: Callable[[DataFrame], Column]
+    validate: Callable[[Column], Column] | None = None
+
+
+@dataclass
+class TransformSpec:
+    rules: list[MappingRule] = field(default_factory=list)
+    uri_rule: MappingRule | None = None  # PatternUriMapping analogue
+
+    def direct(self, target: str, source: str) -> "TransformSpec":
+        """DirectMapping: 1 path -> 1 property."""
+        self.rules.append(MappingRule(target, lambda df, s=source: F.col(s)))
+        return self
+
+    def complex(
+        self,
+        target: str,
+        build: Callable[[DataFrame], Column],
+        validate: Callable[[Column], Column] | None = None,
+    ) -> "TransformSpec":
+        self.rules.append(MappingRule(target, build, validate))
+        return self
+
+    def uri(self, pattern_cols: list[str], prefix: str = "urn:") -> "TransformSpec":
+        """PatternUriMapping: deterministic subject URI from columns."""
+        self.uri_rule = MappingRule(
+            "_uri",
+            lambda df: F.concat(
+                F.lit(prefix), F.concat_ws("/", *[F.col(c).cast("string") for c in pattern_cols])
+            ),
+        )
+        return self
+
+    def execute(self, df: DataFrame) -> tuple[DataFrame, Observation]:
+        """One projection for all rules; returns (frame, report).
+
+        Output columns: [_uri?] + rule targets + `_errors`
+        (array<string> of failed rule names, empty = clean row).
+        The Observation aggregates row/error counts when an action
+        runs — the TransformReport analogue, zero extra jobs."""
+        cols: list[Column] = []
+        error_tags: list[Column] = []
+        if self.uri_rule is not None:
+            cols.append(self.uri_rule.build(df).alias(self.uri_rule.target))
+        for rule in self.rules:
+            raw = rule.build(df)
+            if rule.validate is not None:
+                ok = rule.validate(raw)
+                cols.append(F.when(ok, raw).alias(rule.target))
+                error_tags.append(F.when(~F.coalesce(ok, F.lit(False)), F.lit(rule.target)))
+            else:
+                cols.append(raw.alias(rule.target))
+        errors = F.array_compact(F.array(*error_tags)) if error_tags else F.array().cast(
+            "array<string>"
+        )
+        out = df.select(*cols, errors.alias("_errors"))
+        obs = Observation()
+        out = out.observe(
+            obs,
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.when(F.size("_errors") > 0, 1).otherwise(0)).alias("rows_with_errors"),
+        )
+        return out, obs
+
+    @staticmethod
+    def clean(transformed: DataFrame) -> DataFrame:
+        return transformed.filter(F.size("_errors") == 0).drop("_errors")
+
+    @staticmethod
+    def quarantine(transformed: DataFrame) -> DataFrame:
+        """ErrorOutputWriter analogue: the failing rows with their
+        per-rule error tags."""
+        return transformed.filter(F.size("_errors") > 0)
