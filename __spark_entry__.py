@@ -154,18 +154,27 @@ def q_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     names, levenshtein <= 2 (the reference names-benchmark rule),
     confidence = 1 - d/t (Comparison.scala:71-78)."""
     from silk_spark.operators.blocking import candidate_pairs, key_block
-    from silk_spark.operators.linking import Comparison, LinkageRule, score_pairs
 
     part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
     pairs = candidate_pairs(
         part, None, key_block(F.col("p_brand")), self_key="p_partkey", dedup_pairs=False
     ).filter(F.col("left_p_brand") == F.col("right_p_brand"))
-    rule = LinkageRule(Comparison("levenshteinDistance", "p_name", threshold=2.0))
-    return score_pairs(pairs, rule).select(
-        F.col("left_p_partkey").alias("left_key"),
-        F.col("right_p_partkey").alias("right_key"),
-        F.levenshtein(F.col("left_p_name"), F.col("right_p_name")).alias("lev"),
-        F.round("confidence", 6).alias("confidence"),
+    # lev is computed ONCE; confidence derives from it (Comparison
+    # semantics 1 - d/t at threshold 2 — emitting iff confidence >= 0
+    # is exactly lev <= 2)
+    from silk_spark.functions.measures import distance_to_confidence
+
+    return (
+        pairs.withColumn(
+            "lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name"))
+        )
+        .filter(F.col("lev") <= 2)
+        .select(
+            F.col("left_p_partkey").alias("left_key"),
+            F.col("right_p_partkey").alias("right_key"),
+            "lev",
+            F.round(distance_to_confidence(F.col("lev").cast("double"), 2.0), 6).alias("confidence"),
+        )
     )
 
 

@@ -1,0 +1,128 @@
+"""spark-submit entry point.
+
+North-rule surface: `spark-submit --py-files silk_spark.zip -m` or
+
+    spark-submit silk_spark/cli.py ingest \\
+        --changelog /data/changelog --table /lake/transcripts \\
+        --checkpoints /lake/_ckpt --end-lsn 10000000 --batch-size 1000000
+
+Subcommands:
+  init      create the transcripts LakeTable
+  ingest    offset-driven micro-batch loop (resumes from checkpoint)
+  stream    Structured Streaming tail (availableNow drain)
+  compact   fold MOR delta files
+  show      print table state summary + lineage
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="silk-spark")
+    p.add_argument("--cpus", type=int, default=None, help="local[N] cores (default: env/32)")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    init = sub.add_parser("init", help="create the transcripts table")
+    init.add_argument("--table", required=True)
+    init.add_argument("--buckets", type=int, default=64)
+    init.add_argument("--merge-mode", choices=["cow", "mor"], default="mor")
+
+    ing = sub.add_parser("ingest", help="offset-driven micro-batch ingest")
+    ing.add_argument("--changelog", required=True, help="parquet dir of the change log")
+    ing.add_argument("--table", required=True)
+    ing.add_argument("--checkpoints", required=True)
+    ing.add_argument("--end-lsn", type=int, required=True)
+    ing.add_argument("--batch-size", type=int, required=True)
+    ing.add_argument("--start-lsn", type=int, default=None, help="default: resume from checkpoint")
+    ing.add_argument("--compact-every", type=int, default=None)
+
+    st = sub.add_parser("stream", help="Structured Streaming tail (drain current files)")
+    st.add_argument("--changelog", required=True)
+    st.add_argument("--table", required=True)
+    st.add_argument("--checkpoints", required=True)
+    st.add_argument("--stream-checkpoint", required=True)
+    st.add_argument("--timeout-sec", type=int, default=600)
+
+    cp = sub.add_parser("compact", help="fold delta files")
+    cp.add_argument("--table", required=True)
+    cp.add_argument("--drop-tombstones", action="store_true")
+
+    sh = sub.add_parser("show", help="table + lineage summary")
+    sh.add_argument("--table", required=True)
+    sh.add_argument("--checkpoints", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+    from silk_spark.checkpoint import CheckpointStore
+    from silk_spark.session import get_spark
+    from silk_spark.sources.lake import LakeTable
+    from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
+
+    spark = get_spark("silk-spark-cli", cpus=args.cpus)
+
+    if args.cmd == "init":
+        create_transcripts_table(
+            spark, args.table, n_buckets=args.buckets, merge_mode=args.merge_mode
+        )
+        print(json.dumps({"created": args.table, "merge_mode": args.merge_mode}))
+        return 0
+
+    if args.cmd == "ingest":
+        table = LakeTable(spark, args.table)
+        ckpt = CheckpointStore(args.checkpoints)
+        pipe = CdcPipeline(spark, table, ckpt, changelog_path=args.changelog)
+        results = pipe.run(
+            end_lsn=args.end_lsn,
+            batch_size=args.batch_size,
+            start_lsn=args.start_lsn,
+            compact_every=args.compact_every,
+        )
+        applied = sum(r.get("rows_in_batch", 0) for r in results if not r.get("skipped"))
+        print(json.dumps({"batches": len(results), "rows_applied": applied}))
+        return 0
+
+    if args.cmd == "stream":
+        from silk_spark.streaming.stream import run_stream_to_completion
+
+        table = LakeTable(spark, args.table)
+        ckpt = CheckpointStore(args.checkpoints)
+        run_stream_to_completion(
+            spark, args.changelog, table, ckpt, args.stream_checkpoint, args.timeout_sec
+        )
+        print(json.dumps({"drained": args.changelog}))
+        return 0
+
+    if args.cmd == "compact":
+        table = LakeTable(spark, args.table)
+        summary = table.compact(drop_tombstones=args.drop_tombstones)
+        print(json.dumps({"snapshot_id": summary["snapshot_id"]}))
+        return 0
+
+    if args.cmd == "show":
+        table = LakeTable(spark, args.table)
+        snap = table.current_snapshot()
+        out = {
+            "rows": table.read().count(),
+            "snapshot_id": snap["snapshot_id"] if snap else None,
+            "schema_id": table.schema.schema_id,
+            "merge_mode": table.meta.get("merge_mode"),
+            "committed_batches": len(table.meta["committed_batches"]),
+        }
+        if args.checkpoints:
+            from silk_spark.checkpoint import CheckpointStore as CS
+
+            latest = CS(args.checkpoints).latest()
+            out["resume_lsn"] = latest["end_lsn"] if latest else 0
+        print(json.dumps(out))
+        return 0
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
