@@ -39,6 +39,10 @@ def build_parser() -> argparse.ArgumentParser:
     ing.add_argument("--batch-size", type=int, required=True)
     ing.add_argument("--start-lsn", type=int, default=None, help="default: resume from checkpoint")
     ing.add_argument("--compact-every", type=int, default=None)
+    ing.add_argument(
+        "--reconcile", action="store_true",
+        help="join-and-score near-duplicate turn reconciliation before each MERGE",
+    )
 
     st = sub.add_parser("stream", help="Structured Streaming tail (drain current files)")
     st.add_argument("--changelog", required=True)
@@ -76,7 +80,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "ingest":
         table = LakeTable(spark, args.table)
         ckpt = CheckpointStore(args.checkpoints)
-        pipe = CdcPipeline(spark, table, ckpt, changelog_path=args.changelog)
+        pre = None
+        if args.reconcile:
+            from silk_spark.operators.reconcile import reconcile_near_dups
+
+            pre = reconcile_near_dups
+        pipe = CdcPipeline(
+            spark, table, ckpt, changelog_path=args.changelog, pre_merge=pre
+        )
         results = pipe.run(
             end_lsn=args.end_lsn,
             batch_size=args.batch_size,

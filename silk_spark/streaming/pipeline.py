@@ -112,12 +112,17 @@ class CdcPipeline:
         checkpoints: CheckpointStore,
         changelog: DataFrame | None = None,
         changelog_path: str | None = None,
+        pre_merge=None,
     ):
+        """`pre_merge` is an optional DataFrame->DataFrame hook applied
+        to every batch before the MERGE — e.g. the join-and-score
+        reconciliation (operators/reconcile.reconcile_near_dups)."""
         self.spark = spark
         self.table = table
         self.checkpoints = checkpoints
         self._changelog = changelog
         self._changelog_path = changelog_path
+        self.pre_merge = pre_merge
 
     def _log(self) -> DataFrame:
         if self._changelog is not None:
@@ -153,6 +158,8 @@ class CdcPipeline:
             hi = min(lo + batch_size, end_lsn)
             batch_id = f"lsn-{lo}-{hi}"
             batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            if self.pre_merge is not None:
+                batch = self.pre_merge(batch)
             summary = apply_batch(
                 self.table, batch, batch_id, self.checkpoints, lo, hi
             )

@@ -1,0 +1,82 @@
+"""Join-and-score reconciliation before merge + write-crash atomicity."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from silk_spark.checkpoint import CheckpointStore
+from silk_spark.operators.reconcile import near_dup_mapping, reconcile_near_dups
+from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
+
+ROWS = [
+    # conv, turn, role, text, ts_off, lsn, op — turn 6 is a near-dup
+    # resend of turn 5 (edit distance 1, adjacent index)
+    ("c1", 5, "user", "hello world", 0, 1, "I"),
+    ("c1", 6, "user", "hello world!", 5, 2, "I"),
+    # distinct turn, far text: NOT reconciled
+    ("c1", 7, "assistant", "completely different reply", 10, 3, "I"),
+    # another conv: identical turn resent with same idx (plain dedup)
+    ("c2", 0, "user", "hi", 0, 4, "I"),
+    ("c2", 0, "user", "hi", 1, 5, "U"),
+]
+
+
+@pytest.fixture
+def batch(spark):
+    from silk_spark.datagen import EPOCH0
+
+    df = spark.createDataFrame(
+        [(c, t, r, x, o, l, op) for c, t, r, x, o, l, op in ROWS],
+        "conv_id string, turn_idx int, role string, text string, off int, lsn bigint, op string",
+    )
+    return df.select(
+        "conv_id", "turn_idx", "role", "text",
+        F.timestamp_seconds(F.lit(EPOCH0) + F.col("off")).alias("ts"),
+        "lsn", "op",
+        F.lit(None).cast("string").alias("tool"),
+    )
+
+
+def test_mapping_targets_adjacent_near_dup(spark, batch):
+    m = {(r.conv_id, r.turn_idx, r.lsn): r.canonical_turn for r in near_dup_mapping(batch).collect()}
+    assert m == {("c1", 6, 2): 5}  # only the resend maps; c2 pair is same-key
+
+
+def test_reconcile_then_merge_collapses_resend(spark, batch, tmp_path):
+    t = create_transcripts_table(spark, str(tmp_path / "t"), n_buckets=4, merge_mode="mor")
+    cp = CheckpointStore(str(tmp_path / "cp"))
+    pipe = CdcPipeline(
+        spark, t, cp, changelog=batch, pre_merge=reconcile_near_dups
+    )
+    pipe.run(end_lsn=10, batch_size=10)
+    rows = {(r.conv_id, r.turn_idx): r for r in t.read().collect()}
+    # resend won (later ts) under the canonical turn 5; no turn 6 row
+    assert ("c1", 6) not in rows
+    assert rows[("c1", 5)].text == "hello world!"
+    assert rows[("c1", 7)].text == "completely different reply"
+    assert rows[("c2", 0)].text == "hi" and rows[("c2", 0)].lsn == 5
+
+
+def test_without_reconcile_both_rows_survive(spark, batch, tmp_path):
+    t = create_transcripts_table(spark, str(tmp_path / "t2"), n_buckets=4)
+    cp = CheckpointStore(str(tmp_path / "cp2"))
+    CdcPipeline(spark, t, cp, changelog=batch).run(end_lsn=10, batch_size=10)
+    keys = {(r.conv_id, r.turn_idx) for r in t.read().collect()}
+    assert ("c1", 5) in keys and ("c1", 6) in keys
+
+
+def test_crash_mid_write_leaves_table_consistent(spark, batch, tmp_path):
+    """A snap dir written without a metadata commit (crash between the
+    data write and the atomic version-hint flip) must be invisible;
+    re-applying the batch afterwards converges normally."""
+    t = create_transcripts_table(spark, str(tmp_path / "t3"), n_buckets=4, merge_mode="mor")
+    cp = CheckpointStore(str(tmp_path / "cp3"))
+    # simulate the torn write: orphan data files, metadata untouched
+    orphan = os.path.join(t.data_dir, "snap-1", "_bucket=0")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-00000-dead.parquet"), "wb") as f:
+        f.write(b"not a real parquet file")
+    assert t.read().count() == 0  # orphan is not in any committed manifest
+    CdcPipeline(spark, t, cp, changelog=batch).run(end_lsn=10, batch_size=10)
+    assert t.read().count() == 4  # c1:5,6,7 + c2:0
