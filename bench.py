@@ -9,8 +9,9 @@ Methodology (BASELINE.md):
     taskset to exactly that many cores — local[N] alone does not bound
     the JVM's GC/IO threads to N cores, which silently inflates the
     small level and understates scaling;
-  * levels are interleaved and repeated (median reported) because the
-    container's virtio disk + shared host introduce ±20% run noise;
+  * levels are interleaved and repeated; best-of-repeats is reported
+    (samples rise monotonically across a run — host warm-up — and the
+    shared VM shows up to 2x noise; all samples are in the output);
   * all bench I/O (log, table, shuffle) sits on tmpfs when available;
   * warm-up batches excluded; >= 3 consecutive timed micro-batches;
   * layout constants (64 buckets, 64 shuffle partitions) are identical
