@@ -287,19 +287,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(128)+LSH(32 bands) candidates + exact-Jaccard verify —
-    same semantics as the brute-force oracle, subquadratic plan."""
+    """MinHash(128)+LSH(64 bands, r=2) candidates + exact-Jaccard
+    verify — same semantics as the brute-force oracle, subquadratic
+    plan. (r, b) is tuned to the query threshold: miss probability at
+    s=0.5 is (1-0.5^2)^64 ≈ 1e-8, so banded recall matches the exact
+    oracle for any pair at/above threshold, not just fixture pairs."""
     from silk_spark.operators.dedup_suite import minhash_lsh_pairs
 
-    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return minhash_lsh_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, bands=64)
 
 
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-banded near-dup candidates + exact verify (no SQL
-    oracle: banded recall is approximate by design; rows-only check)."""
-    from silk_spark.operators.dedup_suite import simhash_pairs
+    """Exact SimHash-Hamming pairs (60-bit md5-portable signature,
+    Hamming <= 3) through a banded-LSH plan. 4 bands of 15 bits +
+    max_hamming 3 → pigeonhole recall 1.0, so the banded candidate
+    join is provably equivalent to the all-pairs oracle and the query
+    is value-checkable (DuckDB recomputes the identical signature)."""
+    from silk_spark.operators.dedup_suite import simhash_hamming_pairs
 
-    return simhash_pairs(_t(spark, sf_dir, "documents"), threshold=0.5, shingle_n=2)
+    return simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -559,6 +565,41 @@ _SHINGLES3_SQL = (
     "ELSE [array_to_string(w, ' ')] END"
 )
 
+# 2-word shingles of normalized text (DuckDB list slice is inclusive)
+_SHINGLES2_SQL = (
+    "CASE WHEN len(w) >= 2 THEN "
+    "list_distinct(list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))) "
+    "ELSE [array_to_string(w, ' ')] END"
+)
+
+
+def _simhash_oracle(max_hamming: int = 3) -> str:
+    """All-pairs exact-Hamming oracle recomputing the 60-bit md5
+    SimHash (same token hash: first 15 hex chars of md5(shingle));
+    verified bit-identical to Spark's conv(substr(md5,1,15),16,10)."""
+    sig_terms = " + ".join(
+        f"(CASE WHEN sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(60)
+    )
+    return f"""
+WITH d AS (
+  SELECT doc_id, {_SHINGLES2_SQL} AS sh
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+), t AS (
+  SELECT doc_id, unnest(sh) AS tok FROM d
+), hv AS (
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM t
+), s AS (
+  SELECT doc_id, {sig_terms} AS sig FROM hv GROUP BY doc_id
+)
+SELECT l.doc_id AS left_id, r.doc_id AS right_id,
+       CAST(bit_count(xor(l.sig, r.sig)) AS BIGINT) AS hamming
+FROM s l JOIN s r ON l.doc_id < r.doc_id
+WHERE bit_count(xor(l.sig, r.sig)) <= {max_hamming}
+"""
+
+
 _JACCARD_PAIRS_SQL = f"""
 WITH d AS (
   SELECT doc_id, {_SHINGLES3_SQL} AS sh
@@ -609,8 +650,10 @@ def _lang_id_oracle() -> str:
     # argmax with (score DESC, lang ASC) tie-break == Spark greatest(struct)
     pick = "CASE "
     for lang in langs:
-        others = [f"s_{lang} >= s_{o}" for o in langs if o < lang]
-        others += [f"s_{lang} > s_{o}" for o in langs if o > lang]
+        # earlier lang wins a tie (Spark greatest(struct(s, -i))):
+        # strict '>' vs earlier langs, '>=' vs later ones
+        others = [f"s_{lang} > s_{o}" for o in langs if o < lang]
+        others += [f"s_{lang} >= s_{o}" for o in langs if o > lang]
         pick += f"WHEN s_{lang} > 0 AND {' AND '.join(others)} THEN '{lang}' "
     pick += "ELSE 'und' END"
     words = "list_filter(string_split(lower(text), '\\s+'), x -> x != '')"
@@ -653,7 +696,7 @@ FROM r WHERE rn = 1 AND op != 'D'
         "cdc_batch_lineage": """
 SELECT CAST(floor(event_id / 1000.0) AS BIGINT) AS batch_no,
        count(*) AS n_events,
-       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_deletes,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
        count(DISTINCT user_id) AS n_keys,
        min(event_id) AS start_offset,
        max(event_id) AS end_offset
@@ -728,7 +771,7 @@ FROM documents GROUP BY 1 ORDER BY 1
 """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
-        # dedup_simhash: intentionally no oracle (banded recall approximate)
+        "dedup_simhash": _simhash_oracle(3),
         "dedup_embedding": """
 SELECT l.vec_id AS left_id, r.vec_id AS right_id,
        round(list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]), 6) AS cosine
@@ -744,8 +787,8 @@ WITH tw AS (
   FROM documents
 )
 SELECT doc_id, len(w) AS n_tokens,
-       list_sum(list_transform(w, t -> CAST(ceil(length(t) / 6.0) AS BIGINT)))
-       + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS n_pieces
+       CAST(coalesce(list_sum(list_transform(w, t -> CAST(ceil(length(t) / 6.0) AS BIGINT))), 0)
+            + length(regexp_replace(text, '[^.,;:!?()\\[\\]{}"'']', '', 'g')) AS BIGINT) AS n_pieces
 FROM tw
 """,
         "text_lang_id": _lang_id_oracle(),
@@ -797,8 +840,8 @@ WITH e AS (
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ), sess AS (
   SELECT user_id, event_id, ts_s,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_no
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_no
   FROM g
 )
 SELECT user_id, session_no, count(*) AS n_events,

@@ -27,12 +27,15 @@ TABLES = [
 
 
 def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Canonical string frame, mimicking a value-hash: ints render '3',
+    floats '3.0' — so DuckDB HUGEINT→float64 drift (sum/list_sum) FAILS
+    here like it fails the driver's hash, unlike check_dtype=False."""
     pdf = pdf[sorted(pdf.columns)].copy()
     for c in pdf.columns:
-        if pdf[c].dtype == object:
-            pdf[c] = pdf[c].astype(str)
-        elif str(pdf[c].dtype).startswith("float"):
-            pdf[c] = pdf[c].round(6)
+        if str(pdf[c].dtype).startswith("float"):
+            pdf[c] = pdf[c].round(6).map(repr)
+        else:
+            pdf[c] = pdf[c].map(lambda v: repr(v) if isinstance(v, float) else str(v))
     return pdf.sort_values(list(pdf.columns), kind="mergesort").reset_index(drop=True)
 
 
@@ -77,7 +80,7 @@ def main() -> int:
             failures.append(name)
             continue
         try:
-            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=False, rtol=0, atol=1e-6)
+            pd.testing.assert_frame_equal(g, w, check_dtype=False, check_exact=True)
             print(f"OK   {name}: {len(g)} rows")
         except AssertionError as e:
             print(f"FAIL {name}: value mismatch\n{str(e)[:500]}")
