@@ -17,10 +17,14 @@ duplicate. This is Silk's matcher applied inside the CDC stream:
 Reference: rule/execution/GenerateLinks.scala:63-132, Matcher.scala:
 254-291, Filter.scala:33-50; distance semantics Comparison.scala:71-78.
 
-Scale: candidates never leave their conv_id block; hot conversations
-split with `salt`; scoring is built-in levenshtein (codegen). The
-remap is a broadcast-friendly left join on the (typically tiny)
-mapping. Single-pass (no transitive closure): each record maps to its
+Scale: candidates are blocked on (conv_id, turn-bucket), never bare
+conv_id — a hot conversation with m records in a batch costs
+O(m · records-per-bucket), not O(m²): the left side emits its bucket
+and the next one (bucket width = turn_window), the right side its own
+bucket, so every in-window pair shares a block by construction.
+Scoring is built-in levenshtein (codegen). The remap join is left to
+AQE, which broadcasts the mapping iff its runtime size is small.
+Single-pass (no transitive closure): each record maps to its
 best lower-keyed match — chains A<-B<-C resolve over successive
 batches, which is the at-least-once-friendly behavior we want.
 """
@@ -29,6 +33,43 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def window_candidates(rec: DataFrame, turn_window: int = 1) -> DataFrame:
+    """Candidate pairs (right_turn − left_turn ∈ (0, turn_window]) via
+    composite (conv, turn-bucket) blocking. With bucket width W =
+    turn_window, a qualifying right row's bucket is the left row's
+    bucket g or g+1, so the left side explodes to {g, g+1} and the
+    equi-join on (c, _tb) has provable recall 1.0 while keeping each
+    task's pair count bounded by the per-bucket row count — the skew
+    fix for conversations that dominate a batch (Silk MultiPassBlocking
+    /root/reference/silk-rules/.../methods/MultiPassBlocking.scala:13-21
+    applied to a numeric range).
+
+    `rec` needs columns (c, turn, plus payload); emits left_*/right_*."""
+    w = max(int(turn_window), 1)
+    g = F.floor(F.col("turn") / w).cast("bigint")
+    l = rec.select(
+        F.col("c"),
+        F.col("turn").alias("left_turn"),
+        F.col("text").alias("left_text"),
+        F.explode(F.array(g, g + 1)).alias("_tb"),
+    )
+    r = rec.select(
+        F.col("c"),
+        F.col("turn").alias("right_turn"),
+        F.col("lsn").alias("right_lsn"),
+        F.col("text").alias("right_text"),
+        g.alias("_tb"),
+    )
+    return (
+        l.join(r, ["c", "_tb"])
+        .filter(
+            (F.col("right_turn") > F.col("left_turn"))
+            & (F.col("right_turn") <= F.col("left_turn") + w)
+        )
+        .drop("_tb")
+    )
 
 
 def near_dup_mapping(
@@ -43,22 +84,13 @@ def near_dup_mapping(
     records that near-duplicate an earlier turn in the same batch."""
     conv, turn = keys
     lsn = version_cols[-1]
-    rec = batch.select(conv, turn, lsn, text_col).filter(F.col(text_col).isNotNull())
-    l = rec.select(
+    rec = batch.select(
         F.col(conv).alias("c"),
-        F.col(turn).alias("left_turn"),
-        F.col(text_col).alias("left_text"),
-    )
-    r = rec.select(
-        F.col(conv).alias("c"),
-        F.col(turn).alias("right_turn"),
-        F.col(lsn).alias("right_lsn"),
-        F.col(text_col).alias("right_text"),
-    )
-    pairs = l.join(r, "c").filter(
-        (F.col("right_turn") > F.col("left_turn"))
-        & (F.col("right_turn") <= F.col("left_turn") + turn_window)
-    )
+        F.col(turn).alias("turn"),
+        F.col(lsn).alias("lsn"),
+        F.col(text_col).alias("text"),
+    ).filter(F.col("text").isNotNull())
+    pairs = window_candidates(rec, turn_window)
     scored = pairs.withColumn(
         "lev", F.levenshtein(F.col("left_text"), F.col("right_text"))
     ).filter(F.col("lev") <= text_threshold)
@@ -95,7 +127,10 @@ def reconcile_near_dups(
     mapping = near_dup_mapping(
         batch, text_threshold, turn_window, keys, text_col, version_cols
     )
-    out = batch.join(F.broadcast(mapping), on=[conv, turn, lsn], how="left")
+    # no forced broadcast: the mapping is usually tiny, but a
+    # pathological batch could overflow the driver — AQE picks
+    # broadcast-hash at runtime from the mapping's actual size
+    out = batch.join(mapping, on=[conv, turn, lsn], how="left")
     return out.withColumn(
         turn, F.coalesce(F.col("canonical_turn"), F.col(turn))
     ).drop("canonical_turn").select(*batch.columns)

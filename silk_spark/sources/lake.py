@@ -177,9 +177,17 @@ class LakeTable:
 
     # ---------- read ----------
 
-    def _bucket_files(self) -> dict[str, list[str]]:
+    def _bucket_files(self) -> dict[str, list]:
+        """Manifest entries per bucket: [path, schema_id] pairs (legacy
+        plain-string entries read as schema_id=None)."""
         snap = self.current_snapshot()
         return {} if snap is None else snap["files"]
+
+    @staticmethod
+    def _file_entry(entry) -> tuple[str, int | None]:
+        if isinstance(entry, str):
+            return entry, None
+        return entry[0], entry[1]
 
     def scan(
         self,
@@ -202,25 +210,41 @@ class LakeTable:
         if buckets is not None:
             wanted = {str(b) for b in buckets}
             files_by_bucket = {b: fs for b, fs in files_by_bucket.items() if b in wanted}
-        all_files = [f for fs in files_by_bucket.values() for f in fs]
+        all_files = [self._file_entry(e) for fs in files_by_bucket.values() for e in fs]
         schema = self.schema
+        registry = self.registry
         if not all_files:
             empty_ddl = schema.ddl() + ", _bucket int"
             return self.spark.createDataFrame([], empty_ddl)
-        # no mergeSchema: align_to_schema below projects every file onto
-        # the current registry schema, so per-file footer merging on the
-        # driver would be pure overhead (it scales with file count).
+        # Column-ID mapped read: every data file records the schema_id it
+        # was written under; each schema-version group is read with EXACTLY
+        # that version's schema (explicit read schema — no footer inference,
+        # no mergeSchema driver cost), then projected onto the current
+        # schema with Column casts (missing column -> typed NULL, widened
+        # type -> cast; date->timestamp etc. is legal as an expression but
+        # NOT inside the parquet reader). Inferring instead would let a
+        # lexicographically-first old-schema file silently NULL an evolved
+        # column for every row.
         # No basePath/partition inference either — MOR delta files for
         # one bucket live under several snap-N dirs, which Spark's dir
         # inference rejects; _bucket is recomputed from the key hash
         # (deterministic, same expression the writer used).
-        df = self.spark.read.parquet(*all_files)
-        cols = [
-            (F.col(c.name).cast(c.dtype) if c.name in df.columns else F.lit(None).cast(c.dtype)).alias(c.name)
-            for c in schema.columns
-        ]
-        aligned = df.select(
-            *cols, bucket_expr(meta["key_cols"][0], meta["n_buckets"]).alias("_bucket")
+        by_sid: dict[int | None, list[str]] = {}
+        for path, sid in all_files:
+            by_sid.setdefault(sid, []).append(path)
+        version_by_id = {s.schema_id: s for s in registry.versions}
+        parts = []
+        for sid, paths in sorted(by_sid.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)):
+            if sid is not None and sid in version_by_id:
+                df = self.spark.read.schema(version_by_id[sid].ddl()).parquet(*paths)
+            else:  # legacy manifest entry without schema_id: merge footers
+                df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            parts.append(align_to_schema(df, schema))
+        df = parts[0]
+        for p in parts[1:]:
+            df = df.unionByName(p)
+        aligned = df.withColumn(
+            "_bucket", bucket_expr(meta["key_cols"][0], meta["n_buckets"])
         )
         if resolve:
             aligned = latest_by_key(aligned, meta["key_cols"], meta["version_cols"])
@@ -345,7 +369,7 @@ class LakeTable:
         for b in changed_buckets:
             bdir = os.path.join(snap_dir, f"_bucket={b}")
             new_files = [
-                os.path.join(bdir, f)
+                [os.path.join(bdir, f), schema.schema_id]
                 for f in sorted(os.listdir(bdir))
                 if f.endswith(".parquet")
             ]
@@ -396,7 +420,7 @@ class LakeTable:
                 b = entry.split("=", 1)[1]
                 bdir = os.path.join(snap_dir, entry)
                 files[b] = [
-                    os.path.join(bdir, f)
+                    [os.path.join(bdir, f), schema.schema_id]
                     for f in sorted(os.listdir(bdir))
                     if f.endswith(".parquet")
                 ]

@@ -66,6 +66,30 @@ def test_without_reconcile_both_rows_survive(spark, batch, tmp_path):
     assert ("c1", 5) in keys and ("c1", 6) in keys
 
 
+def test_hot_conversation_candidates_bounded(spark):
+    """One conversation holding 50% of a batch must NOT cost O(m²)
+    candidate pairs: (conv, turn-bucket) blocking bounds the join to
+    in-window neighborhoods (each turn sees only versions of itself
+    and the adjacent turn)."""
+    from silk_spark.operators.reconcile import window_candidates
+
+    m_turns, versions = 200, 2
+    hot = [("hot", t, f"text of turn {t} v{v}", 10 * t + v) for t in range(m_turns) for v in range(versions)]
+    cold = [(f"c{i}", 0, f"cold text {i}", 100000 + i) for i in range(m_turns * versions)]
+    rec = spark.createDataFrame(
+        hot + cold, "c string, turn int, text string, lsn bigint"
+    )
+    m = m_turns * versions  # hot-conversation records in the batch
+    n_cand = window_candidates(rec, turn_window=1).count()
+    # per turn: v*v pairs to the next turn -> ~m*v total; require far
+    # below the O(m^2)=160k of a bare conv_id join
+    assert n_cand <= 10 * m, n_cand
+    # and recall is intact: every adjacent-turn pair is present
+    got = window_candidates(rec, turn_window=1)
+    adjacent = got.filter(F.col("right_turn") == F.col("left_turn") + 1).count()
+    assert adjacent == (m_turns - 1) * versions * versions
+
+
 def test_crash_mid_write_leaves_table_consistent(spark, batch, tmp_path):
     """A snap dir written without a metadata commit (crash between the
     data write and the atomic version-hint flip) must be invisible;

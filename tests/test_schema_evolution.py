@@ -55,6 +55,33 @@ def test_mid_log_tool_column(spark, tmp_path):
     assert v1_keys["tool"].isna().all()
 
 
+def test_mor_mid_log_evolution(spark, tmp_path):
+    """MOR + mid-log evolution: pre-cut delta files (no `tool` column)
+    stay in the manifest forever (append-only), so the scan MUST read
+    each file group with its written schema — footer inference from the
+    lexicographically-first old file would silently NULL `tool` for
+    every row, including post-cut files that carry real values."""
+    log = changelog(spark, N, n_convs=60, turns_per_conv=6, seed=7, schema_cut=0.5)
+    v1 = log.filter("schema_version = 1").drop("tool")
+    v2 = log.filter("schema_version = 2")
+
+    table = create_transcripts_table(
+        spark, str(tmp_path / "tblm"), n_buckets=8, merge_mode="mor"
+    )
+    cp = CheckpointStore(str(tmp_path / "cpm"))
+    CdcPipeline(spark, table, cp, changelog=v1).run(end_lsn=N // 2, batch_size=500)
+    CdcPipeline(spark, table, cp, changelog=v2).run(
+        end_lsn=N, batch_size=500, start_lsn=N // 2
+    )
+    assert "tool" in table.schema.names()
+
+    got = normalize(table.read().toPandas())
+    want = final_state_oracle(log.toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    # the regression signature: evolved column all-NULL despite v2 data
+    assert got["tool"].notna().any()
+
+
 def test_type_widening_on_merge(spark, tmp_path):
     log = changelog(spark, 500, n_convs=20, seed=6)
     table = create_transcripts_table(spark, str(tmp_path / "tblw"), n_buckets=4)
