@@ -309,11 +309,28 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs at >= 0.4 (brute-force; the
-    LSH variant is benchmarked in bench.py)."""
+    """Embedding-cosine near-dup pairs at >= 0.4 — brute-force
+    EXHAUSTIVE variant (O(n²)): the oracle anchor and rerank baseline,
+    never the primary path at scale (that is dedup_embedding_lsh)."""
     from silk_spark.operators.dedup_suite import embedding_near_dup_pairs
 
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path, value-checked end-to-end: random-hyperplane LSH
+    (8 deterministic planes, multi-probe Hamming<=1 on the sign
+    signature) + exact cosine verify. The DuckDB oracle recomputes the
+    identical pipeline (same inlined plane literals, same sign rule,
+    same probe set expressed as bit_count(xor(sig)) <= 1), so the
+    banded candidate join, probing and verification are all
+    hash-compared against an independent single-node implementation.
+    dim passed explicitly — no driver-side action in plan building."""
+    from silk_spark.operators.dedup_suite import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.4, n_planes=8, dim=64
+    )
 
 
 def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,6 +549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
         "text_token_count": q_text_token_count,
@@ -571,6 +589,32 @@ _SHINGLES2_SQL = (
     "list_distinct(list_transform(generate_series(1, len(w)-1), i -> array_to_string(w[i:i+1], ' '))) "
     "ELSE [array_to_string(w, ' ')] END"
 )
+
+
+def _embedding_lsh_oracle(n_planes: int = 8, dim: int = 64, threshold: float = 0.4, seed: int = 42) -> str:
+    """Single-node recomputation of the hyperplane-LSH near-dup
+    pipeline: identical plane literals (same seeded LCG), identical
+    sign rule (dot >= 0), multi-probe candidate set expressed as
+    signature-Hamming <= 1, exact cosine verify."""
+    from silk_spark.operators.dedup_suite import _random_planes
+
+    planes = _random_planes(n_planes, dim, seed)
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(w) for w in plane)}]) >= 0 "
+        f"THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j, plane in enumerate(planes)
+    )
+    return f"""
+WITH s AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, {sig_terms} AS sig
+  FROM embeddings
+)
+SELECT l.vec_id AS left_id, r.vec_id AS right_id,
+       round(list_cosine_similarity(l.v, r.v), 6) AS cosine
+FROM s l JOIN s r ON l.vec_id < r.vec_id
+WHERE bit_count(xor(l.sig, r.sig)) <= 1
+  AND list_cosine_similarity(l.v, r.v) >= {threshold}
+"""
 
 
 def _simhash_oracle(max_hamming: int = 3) -> str:
@@ -778,6 +822,7 @@ SELECT l.vec_id AS left_id, r.vec_id AS right_id,
 FROM embeddings l JOIN embeddings r ON l.vec_id < r.vec_id
 WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.4
 """,
+        "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "ann_topk": _ANN_SQL,
         "ann_ivf_topk": _ANN_SQL,
         "text_token_count": """

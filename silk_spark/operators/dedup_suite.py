@@ -382,14 +382,21 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     n_planes: int = 0,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate vector pairs with cosine >= threshold.
 
-    n_planes=0 → brute-force all-pairs (baseline / oracle parity).
+    n_planes=0 → brute-force all-pairs (baseline / oracle parity;
+    O(n²) — rerank/verification use only, never the primary path).
     n_planes>0 → random-hyperplane LSH: sign-pattern bucket join
     (candidates share the full sign signature OR one of n_planes
-    one-bit-flipped variants — multi-probe) then exact cosine verify.
-    """
+    one-bit-flipped variants — multi-probe, i.e. signature Hamming
+    distance <= 1) then exact cosine verify. Precision is exact;
+    recall is set by (n_planes, probe depth) and rises as the
+    similarity threshold does — the scale path for true near-dup
+    regimes (cosine >= ~0.9). Pass `dim` (known from the schema
+    registry) to keep plan construction action-free; it falls back to
+    a one-row peek only when omitted."""
     base = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), vec_norm(F.col(vec_col)).alias("n")
     )
@@ -398,7 +405,8 @@ def embedding_near_dup_pairs(
         r = base.select(F.col("id").alias("right_id"), F.col("v").alias("rv"), F.col("n").alias("rn"))
         pairs = l.crossJoin(r).filter(F.col("left_id") < F.col("right_id"))
     else:
-        dim = len(base.first()["v"])
+        if dim is None:
+            dim = len(base.first()["v"])
         planes = _random_planes(n_planes, dim, seed)
         sig = _sign_signature(F.col("v"), planes)
         probes = F.array(

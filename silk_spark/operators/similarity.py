@@ -56,34 +56,85 @@ def brute_force_topk(
     )
 
 
+def _const_cosine(v: Column, vec: list[float]) -> Column:
+    """cosine(v, constant vector) as one codegen expression; the
+    constant's norm is folded in at plan-build time."""
+    import math
+
+    arr = F.array(*[F.lit(float(x)) for x in vec])
+    n = math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0
+    return cosine_similarity(v, arr, norm_b=F.lit(n))
+
+
+def nearest_centroid_expr(v: Column, centroids: list[tuple[int, list[float]]]) -> Column:
+    """argmax-cosine centroid id as a pure Column expression
+    (greatest-of-structs, ties to the lower id). For a coarse quantizer
+    k is small by definition, so inlining k dot products beats a
+    broadcast join + k×|corpus| row window shuffle: assignment becomes
+    a zero-shuffle scan."""
+    best = F.greatest(
+        *[
+            F.struct(
+                _const_cosine(v, vec).alias("s"),
+                F.lit(-cid).alias("r"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in centroids
+        ]
+    )
+    return best.getField("cid")
+
+
 def ivf_build_centroids(
     corpus: DataFrame,
     n_centroids: int = 16,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_iters: int = 3,
 ) -> DataFrame:
-    """One-pass deterministic coarse quantizer: bucket vectors by
-    hash(id) % n_centroids and average each bucket (a k-means iteration
-    seeded deterministically; replace with ML-lib KMeans offline at
-    scale — the routing/join shape below is what matters)."""
-    dim_arr = F.col(vec_col)
-    assigned = corpus.select(
-        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("centroid_id"),
-        dim_arr.alias("v"),
-    )
-    # element-wise mean via posexplode + groupBy (scales to any dim)
-    summed = (
-        assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
-        .groupBy("centroid_id", "pos")
-        .agg(F.avg("x").alias("m"))
-        .groupBy("centroid_id")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
-        .select(
-            "centroid_id",
-            F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+    """Deterministic coarse quantizer: hash-bucket means as the seed,
+    then `n_iters` Lloyd iterations entirely as DataFrame ops —
+    assign = zero-shuffle nearest-centroid expression (centroids are
+    k×dim floats, collected and inlined per iteration, exactly a
+    broadcast variable), update = posexplode + groupBy avg. Without
+    the Lloyd steps, hash-bucket means in high dimension are
+    statistically indistinguishable and nearest-centroid routing
+    degenerates (nprobe < k would silently lose recall)."""
+
+    def _means(assigned: DataFrame) -> DataFrame:
+        # element-wise mean via posexplode + groupBy (scales to any dim)
+        return (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .groupBy("centroid_id")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("centroid"),
+            )
+        )
+
+    v = F.col(vec_col)
+    cent_df = _means(
+        corpus.select(
+            F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_centroids)).alias("centroid_id"),
+            v.alias("v"),
         )
     )
-    return summed
+    for _ in range(max(n_iters, 0)):
+        cents = collect_centroids(cent_df)
+        cent_df = _means(
+            corpus.select(nearest_centroid_expr(v, cents).alias("centroid_id"), v.alias("v"))
+        )
+    return cent_df
+
+
+def collect_centroids(cent_df: DataFrame) -> list[tuple[int, list[float]]]:
+    """Materialize the (tiny) centroid table for expression inlining."""
+    return sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in cent_df.collect()
+    )
 
 
 def ivf_topk(
@@ -95,10 +146,15 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: assign corpus vectors to their nearest centroid, route
-    each query to its `nprobe` nearest centroids (broadcast centroid
-    table), exact-score only within probed cells, top-k per query."""
-    centroids = ivf_build_centroids(corpus, n_centroids, id_col, vec_col)
+    """IVF ANN: assign corpus vectors to their nearest (Lloyd-trained)
+    centroid, route each query to its `nprobe` nearest centroids,
+    exact-score only within probed cells, top-k per query. Assignment
+    and probing are inlined centroid expressions (k×dim floats — a
+    broadcast variable in expression form), so neither side shuffles
+    before the cell-local scoring join."""
+    cents = collect_centroids(
+        ivf_build_centroids(corpus, n_centroids, id_col, vec_col)
+    )
     c = corpus.select(
         F.col(id_col).alias("match_id"), F.col(vec_col).alias("cv"),
         vec_norm(F.col(vec_col)).alias("cn"),
@@ -108,27 +164,27 @@ def ivf_topk(
         vec_norm(F.col(vec_col)).alias("qn"),
     )
 
-    # corpus → nearest centroid (broadcast join, no shuffle of the corpus)
-    c_scored = c.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", cosine_similarity(F.col("cv"), F.col("centroid"))
-    )
-    wc = Window.partitionBy("match_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    c_assigned = (
-        c_scored.withColumn("_r", F.row_number().over(wc))
-        .filter(F.col("_r") == 1)
-        .select("match_id", "cv", "cn", "centroid_id")
+    # corpus → nearest centroid: zero-shuffle scan
+    c_assigned = c.select(
+        "match_id", "cv", "cn", nearest_centroid_expr(F.col("cv"), cents).alias("centroid_id")
     )
 
-    # query → nprobe nearest centroids
-    q_scored = q.crossJoin(F.broadcast(centroids)).withColumn(
-        "sim", cosine_similarity(F.col("qv"), F.col("centroid"))
+    # query → nprobe nearest centroids: sort the k-struct array, take
+    # the top slice, explode — still no shuffle
+    sims = F.array(
+        *[
+            F.struct(
+                _const_cosine(F.col("qv"), vec).alias("s"),
+                F.lit(-cid).alias("r"),
+                F.lit(cid).alias("cid"),
+            )
+            for cid, vec in cents
+        ]
     )
-    wq = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("centroid_id"))
-    q_probed = (
-        q_scored.withColumn("_r", F.row_number().over(wq))
-        .filter(F.col("_r") <= nprobe)
-        .select("query_id", "qv", "qn", "centroid_id")
-    )
+    probed = F.slice(F.reverse(F.array_sort(sims)), 1, min(nprobe, len(cents)))
+    q_probed = q.select(
+        "query_id", "qv", "qn", F.explode(probed).alias("_p")
+    ).select("query_id", "qv", "qn", F.col("_p").getField("cid").alias("centroid_id"))
 
     scored = (
         q_probed.join(c_assigned, "centroid_id")

@@ -78,6 +78,27 @@ class TestEmbeddingNearDup:
         if brute:
             assert len(lsh) >= 0.5 * len(brute)
 
+    def test_lsh_recall_in_true_near_dup_regime(self, spark):
+        """At cosine >= 0.95 (actual near-duplicates, the production
+        regime) hyperplane LSH with multi-probe must recover most of
+        the brute-force pair set; planted pairs are tiny perturbations
+        of base vectors."""
+        import numpy as np
+
+        rng = np.random.RandomState(7)
+        base = rng.randn(200, 32)
+        dups = base[:40] + 0.02 * rng.randn(40, 32)  # cos ~ 0.999
+        vecs = np.vstack([base, dups])
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))],
+            "vec_id bigint, embedding array<float>",
+        )
+        brute = pairset(ds.embedding_near_dup_pairs(df, threshold=0.95))
+        lsh = pairset(ds.embedding_near_dup_pairs(df, threshold=0.95, n_planes=8, dim=32))
+        assert len(brute) >= 40
+        assert lsh <= brute  # exact verify: precision 1.0
+        assert len(lsh) >= 0.8 * len(brute), (len(lsh), len(brute))
+
     def test_cosine_value(self, spark):
         df = spark.createDataFrame(
             [(1, [1.0, 0.0]), (2, [1.0, 0.0]), (3, [0.0, 1.0])],

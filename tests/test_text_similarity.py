@@ -91,3 +91,56 @@ class TestSimilaritySearch:
         full = ivf_topk(emb.limit(10), emb, k=3, n_centroids=4, nprobe=4)
         part = ivf_topk(emb.limit(10), emb, k=3, n_centroids=4, nprobe=1)
         assert part.count() <= full.count() * 1.0 + 1e-9
+
+    def test_ivf_partial_probe_recall_clustered(self, spark):
+        """The criterion that actually exercises IVF's approximation:
+        on clusterable data, Lloyd-trained centroids at nprobe=2 of 16
+        must recover >= 0.9 of the exact top-5. Uses a deterministic
+        planted-cluster fixture because the testdata embeddings are
+        isotropic (within-label cosine ~ 0.0 — measured), where NO
+        coarse quantizer can reach 0.9 at nprobe=2; hash-bucket
+        pseudo-centroids fail this test, real Lloyd centroids pass."""
+        import numpy as np
+
+        rng = np.random.RandomState(42)
+        centers = rng.randn(20, 32)
+        centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+        pts = np.repeat(centers, 30, axis=0) + 0.1 * rng.randn(600, 32)
+        df = spark.createDataFrame(
+            [(i, [float(x) for x in pts[i]]) for i in range(len(pts))],
+            "vec_id bigint, embedding array<float>",
+        )
+        q = df.filter(F.col("vec_id") < 30)
+        exact = brute_force_topk(q, df, k=5)
+        approx = ivf_topk(q, df, k=5, n_centroids=16, nprobe=2)
+        e = {(r.query_id, r.match_id) for r in exact.collect()}
+        a = {(r.query_id, r.match_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.9, f"recall@5 = {recall:.3f}"
+
+    def test_ivf_partial_probe_recall_isotropic(self, emb):
+        """On the isotropic testdata, half the cells probed must still
+        recover most of the exact top-5 (sanity floor; brute == oracle)."""
+        exact = brute_force_topk(emb.filter(F.col("vec_id") < 30), emb, k=5)
+        approx = ivf_topk(emb.filter(F.col("vec_id") < 30), emb, k=5, n_centroids=16, nprobe=8)
+        e = {(r.query_id, r.match_id) for r in exact.collect()}
+        a = {(r.query_id, r.match_id) for r in approx.collect()}
+        recall = len(e & a) / len(e)
+        assert recall >= 0.75, f"recall@5 = {recall:.3f}"
+
+    def test_lloyd_centroids_are_distinct(self, emb):
+        """Lloyd iterations must separate the centroids: with hash-bucket
+        means in high dim, all pairwise centroid cosines approach 1."""
+        from silk_spark.operators.dedup_suite import cosine_similarity
+        from silk_spark.operators.similarity import ivf_build_centroids
+
+        cents = ivf_build_centroids(emb, n_centroids=8, n_iters=3)
+        l = cents.select(F.col("centroid_id").alias("i"), F.col("centroid").alias("a"))
+        r = cents.select(F.col("centroid_id").alias("j"), F.col("centroid").alias("b"))
+        sims = (
+            l.crossJoin(r)
+            .filter(F.col("i") < F.col("j"))
+            .select(cosine_similarity(F.col("a"), F.col("b")).alias("s"))
+            .collect()
+        )
+        assert max(r["s"] for r in sims) < 0.99
