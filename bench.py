@@ -89,13 +89,14 @@ def merge_bench(cpus: int, n_events: int) -> dict:
     changelog(
         spark, n_events, n_convs=max(n_events // 200, 1000), turns_per_conv=50, seed=42
     ).repartitionByRange(64, "lsn").write.parquet(log_dir)
-    log = spark.read.parquet(log_dir)
     table = create_transcripts_table(
         spark, os.path.join(root, "t"), n_buckets=64,
         merge_mode=os.environ.get("SILK_BENCH_MODE", "mor"),
     )
     ckpt = CheckpointStore(os.path.join(root, "cp"))
-    pipe = CdcPipeline(spark, table, ckpt, changelog=log)
+    # path mode: footer-stats file pruning + bounds-join slicing keeps
+    # the generated code batch-invariant (no per-batch Janino/JIT)
+    pipe = CdcPipeline(spark, table, ckpt, changelog_path=log_dir)
     # 6 equal micro-batches: 2 warm-up (JIT/codegen), 4 timed
     batch = n_events // 6
     warm = 2 * batch

@@ -134,10 +134,250 @@ def qgrams(a: Column, b: Column, q: int = 2) -> Column:
     return jaccard(ga, gb)
 
 
-def substring_distance(a: Column, b: Column) -> Column:
-    """0 if either contains the other, else 1 (SubStringDistance.scala:8
-    simplified to its decision form)."""
+def is_substring(a: Column, b: Column) -> Column:
+    """0 if either contains the other, else 1 (IsSubstringDistance.scala:7
+    decision form)."""
     return F.when(a.contains(b) | b.contains(a), 0.0).otherwise(1.0)
+
+
+# ---- graded substring distance (Stoilos/Stamou/Kollias ISWC 2005) ----
+# reference: silk-rules/.../distance/characterbased/SubStringDistance.scala:8
+
+
+def _norm_sub(s: str) -> str:
+    for ch in "._ -":
+        s = s.replace(ch, "")
+    return s
+
+
+def _find_best_substring(s1: str, s2: str, best: int):
+    n1, n2 = len(s1), len(s2)
+    a1 = b1 = a2 = b2 = 0
+    i = 0
+    while i < n1 and n1 - i > best:
+        j = 0
+        while n2 - j > best:
+            k = i
+            while j < n2 and s1[k] != s2[j]:
+                j += 1
+            if j != n2:
+                p = j
+                j += 1
+                k += 1
+                while j < n2 and k < n1 and s1[k] == s2[j]:
+                    j += 1
+                    k += 1
+                if k - i > best:
+                    best, a1, b1, a2, b2 = k - i, i, k, p, j
+        i += 1
+    return best, a1, b1, a2, b2
+
+
+def _substring_score(str1: str, str2: str, granularity: int = 3) -> float:
+    """Similarity in [-1, 1]; faithful port of SubStringDistance.score
+    (repeated longest-common-substring removal + commonality −
+    dissimilarity + Winkler prefix improvement)."""
+    min_match = max(granularity, 2)
+    if not str1 or not str2:
+        return -1.0
+    s1, s2 = str1.lower(), str2.lower()
+    if s1 == s2:
+        return 1.0
+    s1, s2 = _norm_sub(s1), _norm_sub(s2)
+    len1, len2 = len(s1), len(s2)
+    if len1 == 0 and len2 == 0:
+        return 0.0
+    if len1 == 0 or len2 == 0:
+        return 1.0
+    common, best = 0.0, 2
+    while s1 and s2 and best != 0:
+        best, a1, b1, a2, b2 = _find_best_substring(s1, s2, 0)
+        s1 = s1[:a1] + s1[b1:]
+        s2 = s2[:a2] + s2[b2:]
+        if best >= min_match:
+            common += best
+        else:
+            best = 0
+    commonality = 2.0 * common / (len1 + len2)
+    # Winkler improvement runs on the ORIGINAL (unnormalized) strings
+    n = min(len(str1), len(str2))
+    diff = next((i for i in range(n) if str1[i] != str2[i]), n - 1)
+    winkler = min(4, diff) * 0.1 * (1.0 - commonality)
+    rest1, rest2 = (len1 - common) / len1, (len2 - common) / len2
+    suma, product = rest1 + rest2, rest1 * rest2
+    p = 0.6
+    dissimilarity = 0.0 if suma - product == 0.0 else product / (p + (1.0 - p) * (suma - product))
+    return commonality - dissimilarity + winkler
+
+
+def substring_distance(a: Column, b: Column, granularity: int = 3) -> Column:
+    """Graded substring distance: 1 − Stoilos score, 1.0 when the score
+    is negative (SubStringDistance.scala evaluate). Vectorized pandas
+    UDF — the iterative substring-removal loop has no Column form."""
+
+    @pandas_udf(DoubleType())
+    def _udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(xs, ys):
+            if x is None or y is None:
+                out.append(None)
+            else:
+                s = _substring_score(x, y, granularity)
+                out.append(1.0 if s < 0 else 1.0 - s)
+        return pd.Series(out)
+
+    return _udf(a, b)
+
+
+# ---- tokenwise distance ----
+# reference: silk-rules/.../distance/tokenbased/TokenwiseStringDistance.scala:84
+
+
+def _plain_levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _kendalls_tau(seq1: list[int], seq2: list[int]) -> float:
+    if len(seq1) == 1:
+        return 1.0
+    num = 0.0
+    for i in range(len(seq1)):
+        for j in range(i):
+            si = (seq1[i] > seq1[j]) - (seq1[i] < seq1[j])
+            sj = (seq2[i] > seq2[j]) - (seq2[i] < seq2[j])
+            if si == sj:
+                num += 1.0
+    return num / (0.5 * (len(seq1) * (len(seq1) - 1)))
+
+
+def _tokenwise_eval(
+    s1: str,
+    s2: str,
+    metric,
+    split_regex: str,
+    stopset: frozenset,
+    stopword_weight: float,
+    nonstopword_weight: float,
+    match_threshold: float,
+    ordering_impact: float,
+    adjust_by_token_length: bool,
+    ignore_case: bool,
+) -> float:
+    """Faithful port of TokenwiseStringDistance.evaluate: all-pairs
+    token scores, greedy one-to-one alignment by descending score,
+    jaccard-like weighted aggregation, optional Kendall-tau ordering."""
+    import re
+
+    def tok(s):
+        parts = [t for t in re.split(split_regex, s) if t]
+        return [t.lower() for t in parts] if ignore_case else parts
+
+    t1, t2 = tok(s1), tok(s2)
+    if not t1 or not t2:
+        return 1.0
+    w1 = [stopword_weight if t in stopset else nonstopword_weight for t in t1]
+    w2 = [stopword_weight if t in stopset else nonstopword_weight for t in t2]
+    if adjust_by_token_length:
+        m1, m2 = max(len(t) for t in t1), max(len(t) for t in t2)
+        w1 = [w * len(t) / m1 for w, t in zip(w1, t1)]
+        w2 = [w * len(t) / m2 for w, t in zip(w2, t2)]
+    scores = []
+    for i1, x in enumerate(t1):
+        for i2, y in enumerate(t2):
+            s = 1.0 - metric(x, y)
+            if s >= match_threshold:
+                scores.append((s, i1, i2))
+    scores.sort(key=lambda t: -t[0])  # stable: ties keep (i1, i2) order
+    matched1, matched2 = [False] * len(t1), [False] * len(t2)
+    mc1 = mc2 = 0
+    last = 1.0
+    align = []
+    for s, i1, i2 in scores:
+        if mc1 < len(t1) and mc2 < len(t2) and last > 0.0 and not matched1[i1] and not matched2[i2]:
+            last = s
+            matched1[i1] = matched2[i2] = True
+            mc1 += 1
+            mc2 += 1
+            align.append((s, i1, i2))
+    inter = 0.0
+    union_matched = 0.0
+    for s, i1, i2 in align:
+        tmp = w1[i1] * w2[i2] * s
+        inter += tmp
+        union_matched += tmp + (w1[i1] ** 2 + w2[i2] ** 2) * (1.0 - s)
+    union_unmatched = sum(w ** 2 for w, m in zip(w1, matched1) if not m) + sum(
+        w ** 2 for w, m in zip(w2, matched2) if not m
+    )
+    union = union_matched + union_unmatched
+    score = 1.0 if union == 0.0 else inter / union
+    if ordering_impact > 0.0 and len(align) > 1:
+        idx1 = [i for _, i in sorted(((a[1], i) for i, a in enumerate(align)), key=lambda x: -x[0])]
+        idx2 = [i for _, i in sorted(((a[2], i) for i, a in enumerate(align)), key=lambda x: -x[0])]
+        tau = _kendalls_tau(idx1, idx2)
+        score = score * (1 - ordering_impact * (1 - tau))
+    return 1.0 - score
+
+
+def tokenwise_distance(
+    a: Column,
+    b: Column,
+    metric_name: str = "levenshtein",
+    split_regex: str = r"[\s\d\W]+",
+    stopwords: str = "",
+    stopword_weight: float = 0.01,
+    nonstopword_weight: float = 0.1,
+    match_threshold: float = 0.0,
+    ordering_impact: float = 0.0,
+    adjust_by_token_length: bool = False,
+    ignore_case: bool = True,
+) -> Column:
+    """Hybrid token/character distance (TokenwiseStringDistance.scala:84,
+    the largest single measure in the reference): token pairs scored by
+    a character metric, greedily aligned one-to-one, aggregated
+    jaccard-like with per-token weights. Vectorized pandas UDF (the
+    greedy alignment has no Column form)."""
+    if metric_name == "levenshtein":
+        metric = lambda x, y: (  # noqa: E731 — normalized lev (LevenshteinMetric.scala)
+            _plain_levenshtein(x, y) / max(len(x), len(y)) if (x or y) else 0.0
+        )
+    elif metric_name == "jaro":
+        metric = lambda x, y: 1.0 - _jaro(x, y)  # noqa: E731
+    elif metric_name == "jaroWinkler":
+        metric = lambda x, y: 1.0 - _jaro_winkler(x, y)  # noqa: E731
+    else:
+        raise ValueError(f"unknown tokenwise metric {metric_name!r}")
+    stopset = frozenset(
+        (w.lower() if ignore_case else w) for w in __import__("re").split(r"[,\s]+", stopwords) if w
+    )
+
+    @pandas_udf(DoubleType())
+    def _udf(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _tokenwise_eval(
+                    x, y, metric, split_regex, stopset,
+                    stopword_weight, nonstopword_weight, match_threshold,
+                    ordering_impact, adjust_by_token_length, ignore_case,
+                )
+                if x is not None and y is not None
+                else None
+                for x, y in zip(xs, ys)
+            ]
+        )
+
+    return _udf(a, b)
 
 
 def starts_with(a: Column, b: Column) -> Column:
@@ -304,8 +544,11 @@ MEASURES = {
     "jaro": jaro,
     "jaroWinkler": jaro_winkler,
     "qGrams": qgrams,
-    "substring": substring_distance,
+    "substringDistance": substring_distance,
+    "isSubstring": is_substring,
+    "substring": is_substring,
     "startsWith": starts_with,
+    "tokenwiseDistance": tokenwise_distance,
     "equality": equality,
     "inequality": inequality,
     "relaxedEquality": relaxed_equality,

@@ -96,13 +96,50 @@ def apply_batch(
     return summary
 
 
+def lsn_file_index(path: str, col: str = "lsn") -> list[tuple[str, int, int]]:
+    """(file, min_lsn, max_lsn) from parquet footer stats — the
+    driver-side file-pruning index for an append-only log dir.
+    Thread-pooled local metadata reads, no Spark job."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    import pyarrow.parquet as pq
+
+    paths = sorted(
+        os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+    )
+
+    def stats(p: str) -> tuple[str, int, int]:
+        md = pq.ParquetFile(p).metadata
+        idx = next(
+            i for i in range(md.num_columns) if md.schema.column(i).name == col
+        )
+        mns, mxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mns.append(st.min)
+            mxs.append(st.max)
+        return p, min(mns), max(mxs)
+
+    with ThreadPoolExecutor(max_workers=16) as pool:
+        return list(pool.map(stats, paths))
+
+
 class CdcPipeline:
     """Offset-range micro-batch loop over a changelog DataFrame/path.
 
     The changelog is assumed append-only and lsn-ordered (binlog/WAL
-    shape); a batch is the half-open lsn range [start, end). Filtering
-    on lsn is pushed down to the parquet scan (min/max row-group stats
-    prune untouched files on a sorted log).
+    shape); a batch is the half-open lsn range [start, end).
+
+    Batch slicing, path mode: files are pruned DRIVER-SIDE from a
+    footer-stats index and the exact bounds are applied via a join
+    against a one-row bounds DataFrame — NOT literal filters. Literal
+    lsn bounds embed in the generated Java source, so every batch
+    would Janino-compile (and JIT) a fresh class: a measured
+    ~0.5–0.7 s/batch SERIAL term that caps scaling efficiency. The
+    bounds-join keeps the generated source batch-invariant (bounds are
+    broadcast DATA, not code) while the file index replaces the lost
+    parquet pushdown at file granularity.
     """
 
     def __init__(
@@ -123,11 +160,37 @@ class CdcPipeline:
         self._changelog = changelog
         self._changelog_path = changelog_path
         self.pre_merge = pre_merge
+        self._file_index: list[tuple[str, int, int]] | None = None
+        self._log_ddl: str | None = None
 
     def _log(self) -> DataFrame:
         if self._changelog is not None:
             return self._changelog
         return self.spark.read.parquet(self._changelog_path)
+
+    def _batch_frame(self, lo: int, hi: int) -> DataFrame:
+        """The [lo, hi) slice with a batch-invariant generated plan."""
+        if self._changelog is not None:
+            # caller-supplied frame (tests, streaming face): literal
+            # filter — correctness identical, plan recompiles per batch
+            return self._changelog.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+        if self._file_index is None:
+            self._file_index = lsn_file_index(self._changelog_path)
+            self._log_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in self._log().schema.fields
+            )
+        files = [p for p, mn, mx in self._file_index if mx >= lo and mn < hi]
+        if not files:
+            return self.spark.createDataFrame([], self._log_ddl)
+        df = self.spark.read.schema(self._log_ddl).parquet(*files)
+        bounds = self.spark.createDataFrame([(lo, hi)], "_lo bigint, _hi bigint")
+        return (
+            df.join(
+                F.broadcast(bounds),
+                (df["lsn"] >= F.col("_lo")) & (df["lsn"] < F.col("_hi")),
+            )
+            .drop("_lo", "_hi")
+        )
 
     def resume_lsn(self) -> int:
         latest = self.checkpoints.latest()
@@ -149,7 +212,6 @@ class CdcPipeline:
         bounds read amplification on a long-running tail (file count
         per bucket stays <= k + 1)."""
         start = self.resume_lsn() if start_lsn is None else start_lsn
-        log = self._log()
         results = []
         batch_no = 0
         applied = 0
@@ -157,7 +219,7 @@ class CdcPipeline:
         while lo < end_lsn:
             hi = min(lo + batch_size, end_lsn)
             batch_id = f"lsn-{lo}-{hi}"
-            batch = log.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
+            batch = self._batch_frame(lo, hi)
             if self.pre_merge is not None:
                 batch = self.pre_merge(batch)
             summary = apply_batch(

@@ -79,6 +79,79 @@ class TestTokenMeasures:
         assert r["s"] == 0.0  # smith~smyth within edit distance 1
 
 
+class TestTokenwiseDistance:
+    """Goldens mirror the reference's TokenwiseStringDistanceTest
+    (silk-rules/.../distance/tokenbased/TokenwiseStringDistanceTest.scala)."""
+
+    STOP = "and or in on the a from thy mr mrs who"
+
+    def _d(self, spark, a, b, **kw):
+        from silk_spark.functions.measures import tokenwise_distance
+
+        params = dict(stopwords=self.STOP, nonstopword_weight=0.1, stopword_weight=0.001)
+        params.update(kw)
+        return pair(spark, a, b).select(
+            tokenwise_distance(F.col("a"), F.col("b"), **params).alias("d")
+        ).first()["d"]
+
+    def test_reference_goldens(self, spark):
+        cases = [
+            ("several seditious scribes", "several seditious scribes", 0.0),
+            ("several seditious scribes", "scribes seditious several", 0.0),
+            ("several seditious scribes", "several seditious scribes from caesarea", 0.251),
+            ("several seditious scibes", "several seditious scribes", 0.091),
+            ("", "", 1.0),
+            ("Anything", "", 1.0),
+            ("Hotel Hilton in Manhattan", "hotel hilton manhattan", 0.001),
+            ("the", "thy", 0.5),
+            ("and", "any", 0.9804),
+            ("Mr John Doe", "Mrs John Doe", 0.0),
+            ("the the", "the who", 0.5),
+            ("Hotel Hotel", "Hotel", 0.5),
+        ]
+        for a, b, want in cases:
+            assert self._d(spark, a, b) == pytest.approx(want, abs=2e-3), (a, b)
+
+    def test_adjust_by_token_length(self, spark):
+        got = self._d(spark, "Hotel Hotel", "Hotel", adjust_by_token_length=True)
+        assert got == pytest.approx(0.5, abs=1e-3)
+
+    def test_ordering_impact(self, spark):
+        same = self._d(spark, "alpha beta", "alpha beta", ordering_impact=0.5)
+        rev = self._d(spark, "alpha beta", "beta alpha", ordering_impact=0.5)
+        assert same == pytest.approx(0.0)
+        assert rev == pytest.approx(0.5, abs=1e-6)  # reverse order -> 1 - (1 - 0.5)
+
+
+class TestSubstringDistance:
+    """Goldens mirror SubStringDistanceTest.scala (graded Stoilos/
+    Stamou/Kollias measure, not the 0/1 decision form)."""
+
+    def _d(self, spark, a, b, granularity=3):
+        got = pair(spark, a, b).select(
+            distance("substringDistance", F.col("a"), F.col("b"), granularity=granularity).alias("d")
+        ).first()["d"]
+        return got
+
+    def test_relative_distances(self, spark):
+        s1, s2, s3 = "ABCDEF", "ABCDEF123", "ABCDEF4567"
+        assert self._d(spark, s1, s2) < self._d(spark, s1, s3)
+        assert self._d(spark, s1, s3) < self._d(spark, s2, s3)
+
+    def test_granularity(self, spark):
+        assert self._d(spark, "AB12", "12AB") == 1.0
+        assert self._d(spark, "AB12", "12AB", granularity=2) == 0.0
+
+    def test_exact_short_match(self, spark):
+        assert self._d(spark, "id", "id") == 0.0
+
+    def test_decision_form_kept(self, spark):
+        got = pair(spark, "foobar", "oba").select(
+            distance("isSubstring", F.col("a"), F.col("b")).alias("d")
+        ).first()["d"]
+        assert got == 0.0
+
+
 class TestEqualityNumericMeasures:
     def test_equality_family(self, spark):
         r = pair(spark, " Foo", "foo ").select(

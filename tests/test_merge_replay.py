@@ -55,6 +55,24 @@ def test_exactly_once_duplicate_batch_replay(spark, log, tmp_path):
     pd.testing.assert_frame_equal(before, after)
 
 
+def test_path_mode_matches_dataframe_mode(spark, log, tmp_path):
+    """changelog_path slicing (footer-stats file pruning + bounds-join,
+    the codegen-stable production path) must produce the identical
+    final state as literal-filter DataFrame slicing, including when a
+    batch range touches no file (empty slice commits a no-op)."""
+    log_dir = str(tmp_path / "logp")
+    log.repartitionByRange(4, "lsn").write.parquet(log_dir)
+    table = create_transcripts_table(spark, str(tmp_path / "tbl_p"), n_buckets=8)
+    cp = CheckpointStore(str(tmp_path / "cp_p"))
+    pipe = CdcPipeline(spark, table, cp, changelog_path=log_dir)
+    # run past the end: [N, N+500) prunes to zero files
+    pipe.run(end_lsn=N_EVENTS + 500, batch_size=500)
+    ref, _, _ = _run(spark, log, tmp_path, batch_size=500, name="pref")
+    pd.testing.assert_frame_equal(
+        normalize(table.read().toPandas()), normalize(ref.read().toPandas())
+    )
+
+
 def test_batching_invariance(spark, log, tmp_path):
     t1, _, _ = _run(spark, log, tmp_path, batch_size=250, name="c1")
     t2, _, _ = _run(spark, log, tmp_path, batch_size=2000, name="c2")
