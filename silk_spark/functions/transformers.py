@@ -380,6 +380,23 @@ TRANSFORMERS = {
     "validateNumericRange": validate_numeric_range,
 }
 
+# linguistic family (pandas-UDF kernels live in phonetic.py)
+from silk_spark.functions.phonetic import (  # noqa: E402
+    metaphone,
+    normalize_chars,
+    nysiis,
+    stem,
+)
+
+TRANSFORMERS.update(
+    {
+        "metaphone": metaphone,
+        "NYSIIS": nysiis,
+        "stem": stem,
+        "normalizeChars": normalize_chars,
+    }
+)
+
 
 def transform(name: str, *cols, **params) -> Column:
     """Registry dispatch (PluginFactory analogue, reference

@@ -59,6 +59,11 @@ class Forward:
 
 
 @dataclass
+class Backward:
+    prop: str
+
+
+@dataclass
 class Filter:
     prop: str  # "@lang" or a sibling property name
     op: str
@@ -66,9 +71,9 @@ class Filter:
 
 
 def parse_path(path: str) -> list:
-    """Parse a Silk path string into operator steps. Backward
-    operators raise — they require a join, not a column expression
-    (PathOperator.scala BackwardOperator)."""
+    """Parse a Silk path string into operator steps (Forward /
+    Backward / Filter). Backward steps lower to a reversed join
+    (`backward_join`), not a column expression."""
     s = path.strip()
     if s.startswith("?"):  # leading variable: "?a/prop" — variable is implicit here
         s = s[s.index("/"):] if "/" in s else ""
@@ -83,10 +88,7 @@ def parse_path(path: str) -> list:
         if m.group("fwd"):
             ops.append(Forward(m.group("fprop")))
         elif m.group("bwd"):
-            raise ValueError(
-                f"backward operator \\{m.group('bprop')} needs a reversed join; "
-                "express it as an explicit join in the workflow DAG"
-            )
+            ops.append(Backward(m.group("bprop")))
         else:
             fm = _FILTER.match(m.group("fexpr"))
             if not fm:
@@ -95,6 +97,66 @@ def parse_path(path: str) -> list:
             ops.append(Filter(fm.group("prop"), fm.group("op"), value))
         pos = m.end()
     return ops
+
+
+def backward_join(
+    entities: DataFrame,
+    graph: DataFrame,
+    prop: str,
+    uri_col: str = "_uri",
+) -> DataFrame:
+    """`\\prop` lowering (PathOperator.scala:71-114 BackwardOperator):
+    navigate AGAINST the edge — from each entity to the `graph` rows
+    whose `prop` points at it. A reversed equi-join: the engine picks
+    broadcast vs shuffle from the side sizes; multi-valued (array)
+    `prop` columns are exploded so any referencing value matches.
+
+    Returns the matching `graph` rows with the navigated-from entity
+    URI attached as `_from_uri`."""
+    ref = F.col(prop)
+    g = graph
+    if dict(g.dtypes).get(prop, "").startswith("array"):
+        g = g.withColumn("_ref", F.explode(ref))
+    else:
+        g = g.withColumn("_ref", ref)
+    e = entities.select(F.col(uri_col).alias("_from_uri"))
+    return (
+        g.join(e, g["_ref"] == e["_from_uri"])
+        .drop("_ref")
+    )
+
+
+def navigate(
+    df: DataFrame,
+    path: str,
+    graph: DataFrame | None = None,
+    uri_col: str = "_uri",
+) -> DataFrame:
+    """Evaluate a mixed forward/backward path across frames: forward
+    and filter runs compile to one Column per run (`evaluate`), each
+    Backward step becomes one reversed join against `graph`. Returns
+    a frame with the path value in `_value` plus `_from_uri` lineage
+    for joined steps (the workflow-layer face of the path language)."""
+    ops = parse_path(path)
+    cur = df
+    run: list = []
+
+    def flush(frame: DataFrame, steps: list) -> DataFrame:
+        if not steps:
+            return frame
+        col = _compile_steps(frame, steps, f"column run in {path!r}")
+        return frame.withColumn("_value", col)
+
+    for op in ops:
+        if isinstance(op, Backward):
+            cur = flush(cur, run)
+            run = []
+            if graph is None:
+                raise ValueError(f"backward step \\{op.prop} needs `graph`")
+            cur = backward_join(cur, graph, op.prop, uri_col)
+        else:
+            run.append(op)
+    return flush(cur, run)
 
 
 def evaluate(df: DataFrame, path: str) -> Column:
@@ -106,8 +168,18 @@ def evaluate(df: DataFrame, path: str) -> Column:
       * Filter right after a multi-valued step → `filter(arr, pred)`;
         a LanguageFilter expects struct elements {value, lang} and
         yields their values (LanguageValueType encoding)
+
+    Backward steps are not column-expressible — use `navigate`.
     """
     ops = parse_path(path)
+    if any(isinstance(op, Backward) for op in ops):
+        raise ValueError(
+            f"path {path!r} has a backward step; use navigate(df, path, graph)"
+        )
+    return _compile_steps(df, ops, path)
+
+
+def _compile_steps(df: DataFrame, ops: list, path: str) -> Column:
     col: Column | None = None
     multi = False  # current column is an array
     dtype = df.schema  # track static type while we can (top levels)

@@ -52,6 +52,20 @@ def csv_source(
     return df
 
 
+def _navigate_base_path(df: DataFrame, base_path: str) -> DataFrame:
+    """Silk-style base-path navigation (JsonTraverser / XML base path):
+    each path step selects into nested records, exploding arrays and
+    flattening structs along the way."""
+    for step in base_path.strip("/").split("/"):
+        if df.schema[step].dataType.typeName() == "array":
+            df = df.select(F.explode(step).alias(step))
+        if df.schema[step].dataType.typeName() == "struct":
+            df = df.select(f"{step}.*")
+        else:
+            df = df.select(step)
+    return df
+
+
 def json_source(
     spark: SparkSession,
     path: str,
@@ -62,14 +76,36 @@ def json_source(
     `base_path` like "a/b" selects-and-explodes into nested records."""
     df = spark.read.option("multiLine", multiline).json(path)
     if base_path:
-        for step in base_path.strip("/").split("/"):
-            if df.schema[step].dataType.typeName() == "array":
-                df = df.select(F.explode(step).alias(step))
-            if df.schema[step].dataType.typeName() == "struct":
-                df = df.select(f"{step}.*")
-            else:
-                df = df.select(step)
+        df = _navigate_base_path(df, base_path)
     return df
+
+
+def xml_source(
+    spark: SparkSession,
+    path: str,
+    row_tag: str,
+    base_path: str | None = None,
+    **options,
+) -> DataFrame:
+    """XML scan (reference XmlDataset/XmlSourceStreaming,
+    silk-plugins/silk-plugins-xml/.../XmlDataset.scala) on Spark 4's
+    native XML reader: `row_tag` is the element treated as one row
+    (the streaming source's entity element), `base_path` navigates
+    below it like the JSON source. Attributes surface as `_attr`
+    columns per Spark's XML convention."""
+    reader = spark.read.option("rowTag", row_tag)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.xml(path)
+    if base_path:
+        df = _navigate_base_path(df, base_path)
+    return df
+
+
+def parse_xml_column(c, schema: str, **options):
+    """from_xml on an XML-string column (the in-memory XmlDataset
+    face): parse into a typed struct with an explicit DDL schema."""
+    return F.from_xml(c, schema, options or None)
 
 
 def text_source(spark: SparkSession, path: str, whole_file: bool = True) -> DataFrame:

@@ -54,6 +54,34 @@ class TestFileSources:
         df = json_source(spark, os.path.join(datadir, "doc.json"), base_path="items")
         assert df.count() == 2 and "labels" in df.columns
 
+    def test_xml_row_tag_and_base_path(self, spark, datadir):
+        from silk_spark.sources.files import parse_xml_column, xml_source
+
+        xml = (
+            "<catalog>"
+            "<book id=\"1\"><title>Dune</title><price>9.99</price>"
+            "<tags><tag>scifi</tag><tag>classic</tag></tags></book>"
+            "<book id=\"2\"><title>Emma</title><price>5.00</price>"
+            "<tags><tag>romance</tag></tags></book>"
+            "</catalog>"
+        )
+        path = os.path.join(datadir, "books.xml")
+        with open(path, "w") as f:
+            f.write(xml)
+        df = xml_source(spark, path, row_tag="book")
+        rows = {r["_id"]: r for r in df.collect()}
+        assert rows[1]["title"] == "Dune" and float(rows[2]["price"]) == 5.0
+        # base-path navigation below the row element
+        tags = xml_source(spark, path, row_tag="book", base_path="tags")
+        flat = sorted(x for r in tags.collect() for x in r["tag"])
+        assert flat == ["classic", "romance", "scifi"]
+        # from_xml string-column face
+        sdf = spark.createDataFrame(
+            [("<r><a>1</a><b>x</b></r>",)], "xml string"
+        ).select(parse_xml_column(F.col("xml"), "a INT, b STRING").alias("s"))
+        r = sdf.select("s.a", "s.b").first()
+        assert r["a"] == 1 and r["b"] == "x"
+
     def test_text_whole_file(self, spark, datadir):
         df = text_source(spark, os.path.join(datadir, "t.txt"))
         assert df.count() == 1 and df.first().text == "hello whole file"
@@ -71,11 +99,43 @@ class TestFileSources:
 
 class TestPathLanguage:
     def test_parse_forms(self):
+        from silk_spark.plans.paths import Backward
+
         assert len(parse_path("/a/b")) == 2
         assert len(parse_path("a")) == 1
         assert len(parse_path("?x/a[b = 'c']")) == 2
-        with pytest.raises(ValueError):
-            parse_path("\\inverse")
+        steps = parse_path("\\inverse")
+        assert isinstance(steps[0], Backward) and steps[0].prop == "inverse"
+
+    def test_backward_requires_navigate(self, spark):
+        df = spark.createDataFrame([(1,)], "a int")
+        with pytest.raises(ValueError, match="backward"):
+            evaluate(df, "\\inverse")
+
+    def test_backward_navigation_across_frames(self, spark):
+        """\\maker from companies lands on the products pointing at
+        them (PathOperator.scala:71-114 BackwardOperator as a reversed
+        join), composing with a forward run after the join."""
+        from silk_spark.plans.paths import navigate
+
+        companies = spark.createDataFrame(
+            [("urn:c:acme", "Acme"), ("urn:c:duff", "Duff")], "_uri string, name string"
+        )
+        products = spark.createDataFrame(
+            [
+                ("urn:p:anvil", "urn:c:acme", "Anvil"),
+                ("urn:p:rocket", "urn:c:acme", "Rocket"),
+                ("urn:p:beer", "urn:c:duff", "Beer"),
+            ],
+            "_uri string, maker string, label string",
+        )
+        out = navigate(companies, "\\maker/label", graph=products)
+        got = sorted((r["_from_uri"], r["_value"]) for r in out.collect())
+        assert got == [
+            ("urn:c:acme", "Anvil"),
+            ("urn:c:acme", "Rocket"),
+            ("urn:c:duff", "Beer"),
+        ]
 
     def test_forward_and_lang_filter(self, spark, datadir):
         df = json_source(spark, os.path.join(datadir, "doc.json"), base_path="items")
