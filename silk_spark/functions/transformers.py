@@ -13,6 +13,8 @@ IS built in).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -322,6 +324,104 @@ def validate_numeric_range(c: Column, lo: float, hi: float) -> Column:
     return F.when((v >= lo) & (v <= hi), c)
 
 
+def validate_date_range(c: Column, min_date: str, max_date: str) -> Column:
+    """Null out dates outside [min_date, max_date] (validation/
+    ValidateDateRange.scala; quarantine-split instead of throwing)."""
+    d = c.cast("date")
+    return F.when((d >= F.lit(min_date).cast("date")) & (d <= F.lit(max_date).cast("date")), c)
+
+
+def validate_date_after(a: Column, b: Column, allow_equal: bool = False) -> Column:
+    """Keep `a` iff it is after `b` (validation/ValidateDateAfter.scala;
+    allowEqual admits equality)."""
+    da, db = a.cast("date"), b.cast("date")
+    ok = (da >= db) if allow_equal else (da > db)
+    return F.when(ok, a)
+
+
+def validate_number_of_values(c: Column, min_n: int = 0, max_n: int = 1) -> Column:
+    """Keep the array iff its size is within [min_n, max_n]
+    (validation/ValidateNumberOValues.scala)."""
+    n = F.size(c)
+    return F.when((n >= min_n) & (n <= max_n), c)
+
+
+def regex_select(output: Column, regexes: list[str], value: Column, one_only: bool = False) -> Column:
+    """selection/RegexSelectTransformer.scala: one slot per regex; the
+    slot holds `output` where its regex matches `value` (only the first
+    match when one_only), '' elsewhere."""
+    slots = []
+    earlier_matched = F.lit(False)
+    for rx in regexes:
+        hit = value.rlike(rx)
+        take = hit & ~earlier_matched if one_only else hit
+        slots.append(F.when(take, output).otherwise(F.lit("")))
+        earlier_matched = earlier_matched | hit
+    return F.array(*slots)
+
+
+def to_sequence_index(c: Column) -> Column:
+    """sequence/ValuesToIndexesTransformer.scala: values → their
+    0-based indexes (as strings)."""
+    return F.transform(c, lambda x, i: i.cast("string"))
+
+
+def number_to_duration(c: Column, unit: str = "day") -> Column:
+    """date/NumberToDurationTransformer.scala: number → xsd:duration
+    lexical form. ms/seconds/day normalize through milliseconds into
+    P[nD][T[nH][nM][n(.nnn)S]]; month/year → P{n}M / P{n}Y."""
+    if unit in ("month", "year"):
+        letter = "M" if unit == "month" else "Y"
+        return F.concat(F.lit("P"), c.cast("double").cast("int").cast("string"), F.lit(letter))
+    factor = {"milliseconds": 1, "seconds": 1000, "day": 86400000}[unit]
+    ms = (c.cast("double") * factor).cast("bigint")
+    days = (ms / 86400000).cast("bigint")
+    hours = ((ms % 86400000) / 3600000).cast("bigint")
+    mins = ((ms % 3600000) / 60000).cast("bigint")
+    secs = (ms % 60000).cast("double") / 1000.0
+    day_part = F.when(days > 0, F.concat(days.cast("string"), F.lit("D"))).otherwise(F.lit(""))
+    h_part = F.when(hours > 0, F.concat(hours.cast("string"), F.lit("H"))).otherwise(F.lit(""))
+    m_part = F.when(mins > 0, F.concat(mins.cast("string"), F.lit("M"))).otherwise(F.lit(""))
+    sec_str = F.when(
+        secs % 1.0 == 0.0, secs.cast("bigint").cast("string")
+    ).otherwise(F.format_number(secs, 3))
+    s_part = F.when(secs > 0, F.concat(sec_str, F.lit("S"))).otherwise(F.lit(""))
+    time_str = F.concat(h_part, m_part, s_part)
+    body = F.concat(
+        day_part, F.when(time_str != "", F.concat(F.lit("T"), time_str)).otherwise(F.lit(""))
+    )
+    return F.when(body == "", F.lit("PT0S")).otherwise(F.concat(F.lit("P"), body))
+
+
+_UNIT_PREFIXES = [
+    ("da", 10.0), ("p", 1e-12), ("n", 1e-9), ("μ", 1e-6), ("U", 1e-6), ("u", 1e-6),
+    ("m", 1e-3), ("c", 1e-2), ("d", 1e-1), ("h", 100.0), ("k", 1000.0),
+    ("K", 1000.0), ("M", 1e6), ("G", 1e9),
+]
+
+
+def extract_physical_quantity(
+    c: Column, symbol: str, filter_regex: str = "", index: int = 0
+) -> Column:
+    """numeric/PhysicalQuantityExtractor.scala: pull
+    '{Number}{UnitPrefix}{Symbol}' out of free text and convert to the
+    base unit ('10km' with symbol='m' → 10000.0). `index` selects among
+    multiple matches; `filter_regex` gates extraction."""
+    prefixes = "|".join(p for p, _ in _UNIT_PREFIXES)
+    rx = rf"(-?\d+(?:\.\d+)?)\s*({prefixes})?{re.escape(symbol)}\b"
+    matches = F.regexp_extract_all(c, F.lit(rx), 0)
+    m = F.try_element_at(matches, F.lit(index + 1))
+    num = F.regexp_extract(m, r"(-?\d+(?:\.\d+)?)", 1).cast("double")
+    pref = F.regexp_extract(m, rf"\d(?:\.\d+)?\s*({prefixes})?{re.escape(symbol)}", 1)
+    factor = F.lit(1.0)
+    for p, f_val in _UNIT_PREFIXES:
+        factor = F.when(pref == p, F.lit(f_val)).otherwise(factor)
+    out = F.when(m.isNotNull() & (m != ""), num * factor)
+    if filter_regex:
+        out = F.when(c.rlike(f"(?i){filter_regex}"), out)
+    return out
+
+
 TRANSFORMERS = {
     "lowerCase": lower_case,
     "upperCase": upper_case,
@@ -378,6 +478,13 @@ TRANSFORMERS = {
     "uuid": deterministic_uuid,
     "validateRegex": validate_regex,
     "validateNumericRange": validate_numeric_range,
+    "validateDateRange": validate_date_range,
+    "validateDateAfter": validate_date_after,
+    "validateNumberOfValues": validate_number_of_values,
+    "regexSelect": regex_select,
+    "toSequenceIndex": to_sequence_index,
+    "numberToDuration": number_to_duration,
+    "extractPhysicalQuantity": extract_physical_quantity,
 }
 
 # linguistic family (pandas-UDF kernels live in phonetic.py)

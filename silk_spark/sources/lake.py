@@ -86,13 +86,21 @@ def bucket_expr(col: str, n_buckets: int) -> F.Column:
 
 
 class LakeTable:
-    """Single-writer copy-on-write table with snapshot isolation."""
+    """Single-writer copy-on-write table with snapshot isolation.
 
-    def __init__(self, spark: SparkSession, root: str):
+    Metadata commits go through a `MetadataIO` backend (sources/io.py):
+    local atomic-rename by default, in-memory fake for tests, catalog /
+    conditional-PUT on a real object store. Single-writer: the pointer
+    publish is last-writer-wins (documented in io.py)."""
+
+    def __init__(self, spark: SparkSession, root: str, meta_io=None):
+        from silk_spark.sources.io import LocalMetadataIO
+
         self.spark = spark
         self.root = root
         self.meta_dir = os.path.join(root, "metadata")
         self.data_dir = os.path.join(root, "data")
+        self.meta_io = meta_io if meta_io is not None else LocalMetadataIO(self.meta_dir)
         self._meta: dict | None = None
 
     # ---------- creation / metadata ----------
@@ -106,9 +114,10 @@ class LakeTable:
         version_cols: list[str] | None = None,
         n_buckets: int = 32,
         merge_mode: str = "cow",
+        meta_io=None,
     ) -> "LakeTable":
         assert merge_mode in ("cow", "mor")
-        t = LakeTable(spark, root)
+        t = LakeTable(spark, root, meta_io=meta_io)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
         registry = SchemaRegistry(schema)
@@ -126,27 +135,16 @@ class LakeTable:
         t._write_meta(meta, version=0)
         return t
 
-    def _hint_path(self) -> str:
-        return os.path.join(self.meta_dir, "version-hint.text")
-
     def _write_meta(self, meta: dict, version: int) -> None:
-        path = os.path.join(self.meta_dir, f"v{version}.metadata.json")
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(meta, f)
-        os.replace(tmp, path)
-        hint_tmp = self._hint_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(hint_tmp, "w") as f:
-            f.write(str(version))
-        os.replace(hint_tmp, self._hint_path())  # atomic commit point
+        self.meta_io.write_atomic(f"v{version}.metadata.json", json.dumps(meta))
+        # publishing the hint is the atomic commit point
+        self.meta_io.write_atomic("version-hint.text", str(version))
         self._meta = meta
         self._meta_version = version
 
     def _load_meta(self) -> dict:
-        with open(self._hint_path()) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self.meta_dir, f"v{version}.metadata.json")) as f:
-            self._meta = json.load(f)
+        version = int(self.meta_io.read("version-hint.text").strip())
+        self._meta = json.loads(self.meta_io.read(f"v{version}.metadata.json"))
         self._meta_version = version
         return self._meta
 

@@ -211,6 +211,82 @@ class TestAggregators:
         assert r["ng"] == -0.5 and r["sc"] == 0.25 and r["hm"] == -1.0
 
 
+class TestValidationAndSequenceTransformers:
+    """Mirrors the reference's TransformExample annotations for the
+    validation / sequence / date / numeric transformer additions."""
+
+    def test_validate_date_family(self, spark):
+        df = spark.createDataFrame([("2015-04-04", "2015-04-03")], "a string, b string")
+        r = df.select(
+            transform("validateDateRange", F.col("a"), "1900-01-01", "2020-12-31").alias("in_range"),
+            transform("validateDateRange", F.col("a"), "2016-01-01", "2020-12-31").alias("out_range"),
+            transform("validateDateAfter", F.col("a"), F.col("b")).alias("after_ok"),
+            transform("validateDateAfter", F.col("b"), F.col("a")).alias("after_bad"),
+            transform("validateDateAfter", F.col("a"), F.col("a"), allow_equal=True).alias("eq_ok"),
+        ).first()
+        assert r["in_range"] == "2015-04-04" and r["out_range"] is None
+        assert r["after_ok"] == "2015-04-04" and r["after_bad"] is None
+        assert r["eq_ok"] == "2015-04-04"
+
+    def test_validate_number_of_values(self, spark):
+        df = spark.createDataFrame([(["v1"], ["v1", "v2"])], "a array<string>, b array<string>")
+        r = df.select(
+            transform("validateNumberOfValues", F.col("a"), min_n=0, max_n=1).alias("ok"),
+            transform("validateNumberOfValues", F.col("b"), min_n=0, max_n=1).alias("bad"),
+        ).first()
+        assert r["ok"] == ["v1"] and r["bad"] is None
+
+    def test_regex_select(self, spark):
+        # reference scaladoc example: output 'output', regexes (a,b,c)
+        # against value 'catch' -> ("output", "", "output")
+        df = spark.createDataFrame([("output", "catch")], "o string, v string")
+        r = df.select(
+            transform("regexSelect", F.col("o"), ["a", "b", "c"], F.col("v")).alias("all"),
+            transform("regexSelect", F.col("o"), ["a", "b", "c"], F.col("v"), one_only=True).alias("one"),
+        ).first()
+        assert r["all"] == ["output", "", "output"]
+        assert r["one"] == ["output", "", ""]
+
+    def test_to_sequence_index(self, spark):
+        df = spark.createDataFrame([(["a", "b", "c"],)], "v array<string>")
+        assert df.select(transform("toSequenceIndex", F.col("v")).alias("i")).first()["i"] == ["0", "1", "2"]
+
+    def test_number_to_duration(self, spark):
+        df = spark.createDataFrame([(1.0,)], "n double")
+        r = df.select(
+            transform("numberToDuration", F.col("n"), unit="day").alias("d"),
+            transform("numberToDuration", F.col("n") * 90061.001, unit="seconds").alias("s"),
+            transform("numberToDuration", F.col("n") * 3, unit="month").alias("m"),
+            transform("numberToDuration", F.col("n") * 0, unit="day").alias("z"),
+        ).first()
+        assert r["d"] == "P1D"
+        assert r["s"] == "P1DT1H1M1.001S"
+        assert r["m"] == "P3M" and r["z"] == "PT0S"
+
+    def test_extract_physical_quantity(self, spark):
+        # reference PhysicalQuantityExtractorTest goldens (en locale)
+        cases = [
+            ("230V", "V", 0, 230.0),
+            ("-100C", "C", 0, -100.0),
+            ("50km", "m", 0, 50000.0),
+            ("500mV", "V", 0, 0.5),
+            ("Capacitor 10000pF 10V ### durable", "V", 0, 10.0),
+            ("2.7V/5.5V", "V", 0, 2.7),
+            ("2.7V/5.5V", "V", 1, 5.5),
+            ("2.7V/5.5V", "V", 2, None),
+        ]
+        for text, sym, idx, want in cases:
+            got = (
+                spark.createDataFrame([(text,)], "t string")
+                .select(transform("extractPhysicalQuantity", F.col("t"), sym, index=idx).alias("q"))
+                .first()["q"]
+            )
+            if want is None:
+                assert got is None, (text, sym, idx)
+            else:
+                assert got == pytest.approx(want), (text, sym, idx)
+
+
 class TestTransformers:
     def test_string_family(self, spark):
         df = spark.createDataFrame([("  Hello World! (x) ",)], "s string")

@@ -74,6 +74,34 @@ def test_mor_compaction_preserves_state(spark, log, tmp_path_factory):
     assert all(len(v) <= 2 for v in files.values())
 
 
+def test_in_memory_metadata_backend(spark, log, tmp_path_factory):
+    """The metadata-IO abstraction is real: the same merge pipeline
+    runs against the dict-backed fake (no metadata files on disk) and
+    converges to the same state; refresh() through a second handle
+    sharing the store sees the committed snapshots."""
+    from silk_spark.schema import TableSchema
+    from silk_spark.sources.io import InMemoryMetadataIO
+    from silk_spark.sources.lake import LakeTable
+    from silk_spark.streaming.pipeline import KEYS, VERSION_ORDER, transcripts_schema
+
+    root = str(tmp_path_factory.mktemp("mem_io"))
+    store = InMemoryMetadataIO()
+    t = LakeTable.create(
+        spark, os.path.join(root, "t"), transcripts_schema(),
+        key_cols=list(KEYS), version_cols=list(VERSION_ORDER),
+        n_buckets=8, merge_mode="mor", meta_io=store,
+    )
+    cp = CheckpointStore(os.path.join(root, "cp"))
+    CdcPipeline(spark, t, cp, changelog=log).run(end_lsn=3000, batch_size=700)
+    assert not os.path.exists(os.path.join(root, "t", "metadata", "version-hint.text"))
+    want = normalize(final_state_oracle(log.toPandas()))
+    got = normalize(t.read().toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    # second handle on the shared store sees the same committed state
+    t2 = LakeTable(spark, os.path.join(root, "t"), meta_io=store)
+    assert t2.meta["current_snapshot_id"] == t.meta["current_snapshot_id"]
+
+
 def test_mor_compaction_keeps_tombstones_by_default(spark, log, tmp_path_factory):
     root = str(tmp_path_factory.mktemp("mor_tomb"))
     t = _run(spark, log, root, "mor")
