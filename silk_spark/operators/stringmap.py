@@ -1,0 +1,213 @@
+"""StringMap execution method: FastMap embedding of strings into R^d.
+
+Reference: silk-rules/.../rule/execution/methods/StringMap.scala:13-253
+(Jin, Li, Mehrotra DASFAA 2003 applying Faloutsos & Lin's FastMap,
+SIGMOD 1995). Strings embed into R^dim via deterministic pivot pairs
+under Levenshtein; Euclidean distance in the mapped space is a cheap
+CONTRACTIVE proxy — pairs farther than the learned mapped threshold
+cannot be within the string threshold, so filtering on it prunes
+without (in practice) losing true pairs. The reference scans every
+(source × target) pair per partition and filters on mapped distance;
+here the mapped space is GRID-BLOCKED (cell width = mapped threshold,
+probe own + neighbor cells per dimension — Index.continuous semantics,
+silk-core/.../entity/Index.scala:133-159) so candidate generation is
+an equi-join, not a cross product.
+
+Driver-side work is bounded: pivots + mapped threshold are fit on a
+collected SAMPLE (the reference fits on whole partitions, which are
+<= 1000 entities anyway); per-row coordinates are computed
+distributedly in one Arrow-batched pandas UDF.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType
+
+from silk_spark.functions.measures import _plain_levenshtein
+
+
+@dataclass
+class FastMapModel:
+    pivots_a: list[str]
+    pivots_b: list[str]
+    pivot_coords_a: list[list[float]]  # coords of pivot A per dim (prefix dims)
+    pivot_coords_b: list[list[float]]
+    dab: list[float]
+    mapped_threshold: float
+
+
+def _proj_distance(s1: str, c1: list[float], s2: str, c2: list[float], dim: int) -> float:
+    """Distance in the residual space of dimension `dim`: original
+    metric minus the projections onto the first `dim` axes
+    (StringMap.scala getDistance)."""
+    d2 = float(_plain_levenshtein(s1, s2)) ** 2
+    for k in range(dim):
+        d2 -= (c1[k] - c2[k]) ** 2
+    return (d2 if d2 > 0 else 0.0) ** 0.5
+
+
+def fastmap_fit(
+    values: list[str],
+    dimensionality: int = 20,
+    dist_threshold: int = 2,
+    threshold_percentage: float = 0.5,
+) -> FastMapModel:
+    """Deterministic FastMap fit (StringMap.scala Mapper): choose pivot
+    pairs by 5 farthest-point iterations per dimension, project every
+    sample, then learn the mapped-space threshold as the max mapped
+    distance among sample pairs within `dist_threshold` true distance."""
+    n = len(values)
+    coords = [[0.0] * dimensionality for _ in range(n)]
+    pa: list[int] = [0] * dimensionality
+    pb: list[int] = [0] * dimensionality
+    dabs: list[float] = [0.0] * dimensionality
+
+    def dist(i: int, j: int, dim: int) -> float:
+        return _proj_distance(values[i], coords[i], values[j], coords[j], dim)
+
+    def farthest(frm: int, dim: int) -> int:
+        best, best_d = 0, -1.0
+        for i in range(n):
+            if i == frm:
+                continue
+            d = dist(frm, i, dim)
+            if d > best_d:
+                best, best_d = i, d
+        return best
+
+    for dim in range(dimensionality):
+        a, b = 0, dim % max(n, 1)
+        for _ in range(5):
+            a = farthest(b, dim)
+            b = farthest(a, dim)
+        pa[dim], pb[dim] = a, b
+        dab = dist(a, b, dim)
+        dabs[dim] = dab
+        for i in range(n):
+            if dab == 0.0:
+                coords[i][dim] = 0.0
+            else:
+                x = dist(i, a, dim)
+                y = dist(i, b, dim)
+                coords[i][dim] = (x * x + dab * dab - y * y) / (2.0 * dab)
+
+    # learn mapped threshold on the sample prefix (computeThreshold)
+    k = max(int(n * threshold_percentage), 1)
+    mapped_threshold = 0.0
+    for i in range(k):
+        for j in range(k):
+            if i == j:
+                continue
+            d = _plain_levenshtein(values[i], values[j])
+            if 0 < d <= dist_threshold:
+                md = sum((coords[i][t] - coords[j][t]) ** 2 for t in range(dimensionality)) ** 0.5
+                mapped_threshold = max(mapped_threshold, md)
+    if mapped_threshold == 0.0:
+        # no in-threshold sample pair: fall back to the true threshold
+        # (mapped distance is contractive, so this keeps recall)
+        mapped_threshold = float(dist_threshold)
+    return FastMapModel(
+        pivots_a=[values[i] for i in pa],
+        pivots_b=[values[i] for i in pb],
+        pivot_coords_a=[list(coords[i]) for i in pa],
+        pivot_coords_b=[list(coords[i]) for i in pb],
+        dab=dabs,
+        mapped_threshold=mapped_threshold + 1e-5,
+    )
+
+
+def map_value(model: FastMapModel, s: str) -> list[float]:
+    """Project one string with the fitted pivots (StringMap.scala
+    mapValue)."""
+    dims = len(model.pivots_a)
+    c: list[float] = []
+    for dim in range(dims):
+        dab = model.dab[dim]
+        if dab == 0.0:
+            c.append(0.0)
+            continue
+        x = _proj_distance(s, c, model.pivots_a[dim], model.pivot_coords_a[dim], dim)
+        y = _proj_distance(s, c, model.pivots_b[dim], model.pivot_coords_b[dim], dim)
+        c.append((x * x + dab * dab - y * y) / (2.0 * dab))
+    return c
+
+
+def fastmap_coordinates(model: FastMapModel) -> Column:
+    """Column factory: pandas UDF mapping a string column to its R^dim
+    coordinates (the model rides the closure as a broadcast)."""
+
+    @pandas_udf(ArrayType(DoubleType()))
+    def _udf(s: pd.Series) -> pd.Series:
+        return pd.Series([map_value(model, x) if x is not None else None for x in s])
+
+    return _udf
+
+
+def stringmap_candidate_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    dist_threshold: int = 2,
+    dimensionality: int = 20,
+    sample_size: int = 200,
+    block_dims: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """StringMap candidate generation: fit FastMap on a bounded sample
+    of both sides, map every row, grid-block the first `block_dims`
+    mapped coordinates at cell width = mapped threshold with ±1-cell
+    probing (any pair within the threshold differs by < 1 cell per
+    axis, so it shares a probed cell — recall 1.0 w.r.t. the mapped
+    filter), then keep pairs with Euclidean mapped distance below the
+    learned threshold. Output columns left_*/right_* + mapped_dist;
+    feed to an exact verify (e.g. levenshtein <= dist_threshold)."""
+    sample = [
+        r["v"]
+        for r in left.select(F.col(left_key).alias("v"))
+        .unionByName(right.select(F.col(right_key).alias("v")))
+        .filter(F.col("v").isNotNull())
+        .orderBy(F.xxhash64("v", F.lit(seed)))  # deterministic shuffle
+        .limit(sample_size)
+        .collect()
+    ]
+    model = fastmap_fit(sample, dimensionality, dist_threshold)
+    coord = fastmap_coordinates(model)
+    w = model.mapped_threshold
+
+    def mapped(df: DataFrame, key: str, side: str) -> DataFrame:
+        cols = [F.col(c).alias(f"{side}_{c}") for c in df.columns]
+        return df.select(*cols, coord(F.col(key)).alias(f"{side}_mc"))
+
+    l = mapped(left, left_key, "left")
+    r = mapped(right, right_key, "right")
+    # grid cell ids for the first block_dims axes; left probes ±1 cell
+    cell = lambda mc, d: F.floor(F.element_at(mc, d + 1) / F.lit(w)).cast("bigint")  # noqa: E731
+    probe_axes = [
+        F.array(*[cell(F.col("left_mc"), d) + off for off in (-1, 0, 1)]).alias(f"_p{d}")
+        for d in range(block_dims)
+    ]
+    l2 = l.select("*", *probe_axes)
+    for d in range(block_dims):
+        l2 = l2.withColumn(f"_c{d}", F.explode(f"_p{d}")).drop(f"_p{d}")
+    r2 = r.select("*", *[cell(F.col("right_mc"), d).alias(f"_c{d}") for d in range(block_dims)])
+    joined = l2.join(r2, [f"_c{d}" for d in range(block_dims)]).drop(
+        *[f"_c{d}" for d in range(block_dims)]
+    )
+    sq = F.aggregate(
+        F.zip_with(F.col("left_mc"), F.col("right_mc"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        joined.withColumn("mapped_dist", F.sqrt(sq))
+        .filter(F.col("mapped_dist") < w)
+        .drop("left_mc", "right_mc")
+        .dropDuplicates()
+    )

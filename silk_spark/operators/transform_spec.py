@@ -36,6 +36,14 @@ class MappingRule:
 
 
 @dataclass
+class ObjectRule:
+    """Nested-object rule: child spec rendered as a struct column."""
+
+    target: str
+    child: "TransformSpec"
+
+
+@dataclass
 class TransformSpec:
     rules: list[MappingRule] = field(default_factory=list)
     uri_rule: MappingRule | None = None  # PatternUriMapping analogue
@@ -52,6 +60,15 @@ class TransformSpec:
         validate: Callable[[Column], Column] | None = None,
     ) -> "TransformSpec":
         self.rules.append(MappingRule(target, build, validate))
+        return self
+
+    def obj(self, target: str, child: "TransformSpec") -> "TransformSpec":
+        """Nested ObjectMapping (TransformRule.scala:376-431): the
+        child spec's rules become fields of ONE struct column (its uri
+        rule becomes a `_uri` field), still inside the single parent
+        projection. Child validation failures tag the parent `_errors`
+        as 'target.field'."""
+        self.rules.append(ObjectRule(target, child))
         return self
 
     def uri(self, pattern_cols: list[str], prefix: str = "urn:") -> "TransformSpec":
@@ -76,6 +93,26 @@ class TransformSpec:
         if self.uri_rule is not None:
             cols.append(self.uri_rule.build(df).alias(self.uri_rule.target))
         for rule in self.rules:
+            if isinstance(rule, ObjectRule):
+                fields: list[Column] = []
+                child = rule.child
+                if child.uri_rule is not None:
+                    fields.append(child.uri_rule.build(df).alias("_uri"))
+                for cr in child.rules:
+                    raw = cr.build(df)
+                    if cr.validate is not None:
+                        ok = cr.validate(raw)
+                        fields.append(F.when(ok, raw).alias(cr.target))
+                        error_tags.append(
+                            F.when(
+                                ~F.coalesce(ok, F.lit(False)),
+                                F.lit(f"{rule.target}.{cr.target}"),
+                            )
+                        )
+                    else:
+                        fields.append(raw.alias(cr.target))
+                cols.append(F.struct(*fields).alias(rule.target))
+                continue
             raw = rule.build(df)
             if rule.validate is not None:
                 ok = rule.validate(raw)

@@ -123,6 +123,58 @@ def bulk_source(spark: SparkSession, fmt: str, *paths: str, **options) -> DataFr
     return getattr(reader, fmt)(list(paths))
 
 
+def empty_source(spark: SparkSession, schema_ddl: str) -> DataFrame:
+    """EmptyDataset/EmptySource (silk-core/.../dataset/EmptyDataset.scala):
+    a typed zero-row frame — workflow placeholder input."""
+    return spark.createDataFrame([], schema_ddl)
+
+
+def variable_source(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
+    """VariableDataset (silk-core/.../dataset/VariableDataset.scala):
+    parameterized in-memory input bound at workflow execution time."""
+    if not rows:
+        return empty_source(spark, schema_ddl)
+    return spark.createDataFrame(rows, schema_ddl)
+
+
+def write_sink(df: DataFrame, fmt: str, path: str, mode: str = "overwrite", **options) -> None:
+    """Format sinks (CsvSink/JsonSink/XmlSink, TextSink — reference
+    silk-plugins/.../CsvSink.scala etc.): thin wrapper over Spark's
+    writers so every sink id has one call surface. XML uses Spark 4's
+    native writer (rootTag/rowTag options)."""
+    writer = df.write.mode(mode)
+    for k, v in options.items():
+        writer = writer.option(k, v)
+    if fmt == "csv" and "header" not in options:
+        writer = writer.option("header", True)
+    getattr(writer, fmt)(path)
+
+
+def write_links(
+    links: DataFrame,
+    path: str,
+    fmt: str = "csv",
+    link_type: str = "owl:sameAs",
+    inverse: bool = False,
+    **options,
+) -> None:
+    """LinkSink / FilteredLinkSink (silk-core/.../dataset/LinkSink.scala,
+    TableLinkSink.scala): write (source, target[, confidence]) pairs
+    with the link-type property attached; `inverse` swaps the pair
+    orientation (the inverse-property writer)."""
+    cols = list(links.columns)
+    src, tgt = cols[0], cols[1]
+    if inverse:
+        src, tgt = tgt, src
+    out = links.select(
+        F.col(src).alias("source"),
+        F.lit(link_type).alias("link_type"),
+        F.col(tgt).alias("target"),
+        *[F.col(c) for c in cols[2:]],
+    )
+    write_sink(out, fmt, path, **options)
+
+
 def sample_source(df: DataFrame, n: int, seed: int = 42) -> DataFrame:
     """SamplingDataSource: bounded random sample (without replacement),
     deterministic under the seed."""

@@ -97,6 +97,60 @@ class TestFileSources:
         assert prof["id"].nonnull == 2 and prof["id"].rows == 2
 
 
+class TestPlaceholderSourcesAndSinks:
+    def test_empty_and_variable(self, spark):
+        from silk_spark.sources.files import empty_source, variable_source
+
+        e = empty_source(spark, "a int, b string")
+        assert e.count() == 0 and [f.name for f in e.schema.fields] == ["a", "b"]
+        v = variable_source(spark, [(1, "x")], "a int, b string")
+        assert v.first()["b"] == "x"
+        assert variable_source(spark, [], "a int, b string").count() == 0
+
+    def test_write_sinks_roundtrip(self, spark, datadir):
+        from silk_spark.sources.files import write_links, write_sink
+
+        df = spark.createDataFrame([(1, "a"), (2, "b")], "id int, v string")
+        out = os.path.join(datadir, "sink_csv")
+        write_sink(df, "csv", out)
+        back = spark.read.option("header", True).csv(out)
+        assert back.count() == 2 and set(back.columns) == {"id", "v"}
+        links = spark.createDataFrame(
+            [("urn:a", "urn:b", 0.9)], "source string, target string, confidence double"
+        )
+        lout = os.path.join(datadir, "sink_links")
+        write_links(links, lout, fmt="json", inverse=True)
+        row = spark.read.json(lout).first()
+        assert row["source"] == "urn:b" and row["target"] == "urn:a"
+        assert row["link_type"] == "owl:sameAs" and row["confidence"] == 0.9
+
+
+class TestObjectMapping:
+    def test_nested_struct_with_child_validation(self, spark):
+        """ObjectMapping (TransformRule.scala:376-431): child rules
+        render as struct fields; child validation failures tag parent
+        _errors as 'obj.field'."""
+        from silk_spark.operators.transform_spec import TransformSpec
+
+        df = spark.createDataFrame(
+            [(1, "alice", 30), (2, "bob", -5)], "id int, name string, age int"
+        )
+        child = (
+            TransformSpec()
+            .uri(["id"], prefix="urn:person:")
+            .direct("name", "name")
+            .complex("age", lambda d: F.col("age"), validate=lambda c: c >= 0)
+        )
+        spec = TransformSpec().direct("id", "id").obj("person", child)
+        out, _ = spec.execute(df)
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["person"]["_uri"] == "urn:person:1"
+        assert rows[1]["person"]["name"] == "alice" and rows[1]["person"]["age"] == 30
+        assert rows[1]["_errors"] == []
+        assert rows[2]["person"]["age"] is None
+        assert rows[2]["_errors"] == ["person.age"]
+
+
 class TestPathLanguage:
     def test_parse_forms(self):
         from silk_spark.plans.paths import Backward

@@ -1,0 +1,73 @@
+"""StringMap (FastMap) execution method: mapped-space contraction,
+candidate completeness vs the exact pair set (the reference harness's
+pairs-completeness criterion, GenerateLinksTest.scala:110-124)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from silk_spark.operators.stringmap import (
+    fastmap_fit,
+    map_value,
+    stringmap_candidate_pairs,
+)
+
+NAMES = [
+    "john smith", "jon smith", "john smyth", "jane smith",
+    "peter miller", "petra miller", "peter muller",
+    "alice johnson", "alise johnson", "bob brown", "robert brown",
+    "carol white", "carole white", "david black", "davide black",
+    "eve green", "eva green", "frank stone", "franka stone",
+    "grace hill", "gracie hill",
+]
+
+
+def _true_pairs(names, t=2):
+    from silk_spark.functions.measures import _plain_levenshtein
+
+    return {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if 0 < _plain_levenshtein(a, b) <= t
+    }
+
+
+class TestFastMapModel:
+    def test_mapped_distance_tracks_string_distance(self):
+        model = fastmap_fit(NAMES, dimensionality=10, dist_threshold=2)
+        c1, c2, c3 = (map_value(model, s) for s in ("john smith", "jon smith", "peter miller"))
+        d = lambda a, b: sum((x - y) ** 2 for x, y in zip(a, b)) ** 0.5  # noqa: E731
+        assert d(c1, c2) < d(c1, c3)  # near pair maps near, far pair far
+
+    def test_deterministic(self):
+        m1 = fastmap_fit(NAMES, dimensionality=5)
+        m2 = fastmap_fit(NAMES, dimensionality=5)
+        assert m1 == m2
+
+
+class TestCandidatePairs:
+    def test_pairs_completeness_on_golden(self, spark):
+        """Every true lev<=2 pair must survive the mapped-space filter
+        (completeness 1.0 on the golden fixture — the criterion the
+        reference benchmarks each execution method against)."""
+        df = spark.createDataFrame([(i, n) for i, n in enumerate(NAMES)], "id int, name string")
+        cand = stringmap_candidate_pairs(
+            df, df, "name", "name", dist_threshold=2, dimensionality=10, sample_size=50
+        )
+        got = {
+            tuple(sorted((r["left_name"], r["right_name"])))
+            for r in cand.collect()
+            if r["left_name"] != r["right_name"]
+        }
+        want = {tuple(sorted(p)) for p in _true_pairs(NAMES)}
+        missed = want - got
+        assert not missed, f"missed true pairs: {missed}"
+
+    def test_prunes_far_pairs(self, spark):
+        df = spark.createDataFrame([(i, n) for i, n in enumerate(NAMES)], "id int, name string")
+        cand = stringmap_candidate_pairs(
+            df, df, "name", "name", dist_threshold=2, dimensionality=10, sample_size=50
+        )
+        n = len(NAMES)
+        distinct = cand.filter(F.col("left_name") != F.col("right_name")).count()
+        assert distinct < n * (n - 1)  # strictly fewer than all ordered pairs
