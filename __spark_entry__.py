@@ -212,6 +212,53 @@ def q_link_qgram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_stringmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StringMap/FastMap execution method (StringMap.scala:13-68):
+    part names embed into R^10 via deterministic sampled pivots, the
+    grid-blocked mapped-space join prunes candidates, exact
+    levenshtein <= 2 verifies. The oracle is the FULL exact pair set —
+    this query is all-three-green only while the mapped filter keeps
+    recall 1.0 on the data, which is the reference harness's
+    pairs-completeness criterion for the method."""
+    from silk_spark.operators.stringmap import stringmap_candidate_pairs
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    cand = stringmap_candidate_pairs(
+        part, part, "p_name", "p_name", dist_threshold=2, dimensionality=10,
+        sample_size=100,
+    )
+    return (
+        cand.filter(F.col("left_p_partkey") < F.col("right_p_partkey"))
+        .withColumn("lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name")))
+        .filter(F.col("lev") <= 2)
+        .select(
+            F.col("left_p_partkey").alias("left_key"),
+            F.col("right_p_partkey").alias("right_key"),
+            "lev",
+        )
+    )
+
+
+def q_path_backward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward path operator (\\prop, PathOperator.scala:71-114) over
+    relational frames: from each nation, navigate AGAINST c_nationkey
+    to the customers referencing it, then forward to /c_name."""
+    from silk_spark.plans.paths import navigate
+
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").cast("string").alias("_uri")
+    )
+    customer = _t(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("string").alias("c_nationkey"), "c_name"
+    )
+    out = navigate(nation, "\\c_nationkey/c_name", graph=customer)
+    return out.select(
+        F.col("_from_uri").alias("nation_key"),
+        F.col("c_custkey").alias("cust_key"),
+        F.col("_value").alias("customer_name"),
+    )
+
+
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped aggregation (partial-agg + AQE showcase)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -541,6 +588,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_part_names": q_link_part_names,
         "link_best_match": q_link_best_match,
         "link_qgram_blocked": q_link_qgram_blocked,
+        "link_stringmap": q_link_stringmap,
+        "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
         "agg_revenue_by_nation": q_agg_revenue_by_nation,
         "window_top_orders": q_window_top_orders,
@@ -773,6 +822,18 @@ SELECT l.p_partkey AS left_key, r.p_partkey AS right_key,
        levenshtein(l.p_name, r.p_name) AS lev
 FROM part l JOIN part r ON l.p_partkey < r.p_partkey
 WHERE levenshtein(l.p_name, r.p_name) <= 1
+""",
+        "link_stringmap": """
+SELECT l.p_partkey AS left_key, r.p_partkey AS right_key,
+       levenshtein(l.p_name, r.p_name) AS lev
+FROM part l JOIN part r ON l.p_partkey < r.p_partkey
+WHERE levenshtein(l.p_name, r.p_name) <= 2
+""",
+        "path_backward": """
+SELECT CAST(n_nationkey AS VARCHAR) AS nation_key,
+       c_custkey AS cust_key,
+       c_name AS customer_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
 """,
         "agg_pricing_summary": """
 SELECT l_returnflag, l_linestatus,

@@ -301,7 +301,16 @@ class LakeTable:
         schema = registry.current
 
         changes = align_to_schema(changes, schema)
-        changes = latest_by_key(changes, keys, order)
+        if mode != "mor":
+            # COW resolves base-vs-change at write time; shrinking the
+            # change side first keeps the union small.
+            changes = latest_by_key(changes, keys, order)
+        # MOR: NO in-batch dedup — scan-time max-by resolution already
+        # handles any number of versions per key, so the groupBy would
+        # be a pure extra shuffle of the whole batch (measured ~35% of
+        # batch wall-clock). The write path is ONE shuffle: bucket
+        # layout. Intra-batch duplicate keys cost only bytes in the
+        # delta files until compact() folds them.
         changes = changes.withColumn("_bucket", bucket_expr(keys[0], n_buckets))
 
         snap_id = (meta["current_snapshot_id"] or 0) + 1
