@@ -355,6 +355,17 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup survivorship: transitive clusters over the shingle-
+    Jaccard pair graph via iterative min-label propagation (a genuinely
+    iterative distributed algorithm — O(diameter) rounds of join +
+    groupBy min), canonical survivor = min doc id. Oracle: DuckDB
+    recursive CTE computing the same components."""
+    from silk_spark.operators.dedup_suite import near_dup_clusters
+
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5, max_iter=6)
+
+
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs at >= 0.4 — brute-force
     EXHAUSTIVE variant (O(n²)): the oracle anchor and rerank baseline,
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
@@ -875,6 +887,27 @@ SELECT md5({_NORM_SQL}) AS fingerprint,
 FROM documents GROUP BY 1 ORDER BY 1
 """,
         "dedup_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "dedup_clusters": f"""
+WITH RECURSIVE
+d AS (
+  SELECT doc_id, {_SHINGLES3_SQL} AS sh
+  FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+),
+p AS (
+  SELECT l.doc_id AS a, r.doc_id AS b
+  FROM d l JOIN d r ON l.doc_id < r.doc_id
+  WHERE len(list_distinct(list_intersect(l.sh, r.sh)))::DOUBLE
+        / len(list_distinct(list_concat(l.sh, r.sh))) >= 0.5
+),
+e AS (SELECT a, b FROM p UNION ALL SELECT b, a FROM p),
+reach(id, lab) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.a, reach.lab FROM reach JOIN e ON e.b = reach.id
+)
+SELECT id AS doc_id, min(lab) AS cluster_id, (min(lab) = id) AS is_survivor
+FROM reach GROUP BY id
+""",
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_simhash": _simhash_oracle(3),
         "dedup_embedding": """

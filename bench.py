@@ -42,7 +42,12 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "16000000"))
+# 96M default: 16M-event micro-batches amortize the ~2s of fixed
+# per-batch latency (task scheduling, broadcast, observe listener,
+# driver commit) that otherwise masks CPU scaling at 32 cores —
+# batch sizing is the real-world lever too (10^10 events/day arrives
+# in >=100M-event batches, where the fixed term is <1%)
+N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "96000000"))
 REPEATS = int(os.environ.get("SILK_BENCH_REPEATS", "3"))
 RUN_SCALING = os.environ.get("SILK_BENCH_SCALING", "1") != "0"
 
@@ -64,11 +69,33 @@ BENCH_QUERIES = [
 ]
 
 
-def merge_bench(cpus: int, n_events: int) -> dict:
+def make_log(n_events: int) -> str:
+    """Materialize the synthetic change log ONCE (parent process,
+    unpinned — setup, not measurement) and share it with every pinned
+    merge subprocess. 256 range partitions: a 1/6 batch window overlaps
+    ~43 files, so scan (and, with the unpartitioned layout, write)
+    parallelism covers 32 cores — parquet files are one row group and
+    unsplittable, so file count IS the parallelism bound."""
+    from silk_spark.datagen import changelog
+    from silk_spark.session import get_spark
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="silk_bench_log_", dir=base)
+    log_dir = os.path.join(root, "log")
+    spark = get_spark("silk-bench-datagen", cpus=CPUS, shuffle_partitions=64,
+                      extra_conf={"spark.local.dir": os.path.join(root, "scratch")})
+    changelog(
+        spark, n_events, n_convs=max(n_events // 200, 1000), turns_per_conv=50, seed=42
+    ).repartitionByRange(256, "lsn").write.parquet(log_dir)
+    spark.stop()
+    return log_dir
+
+
+def merge_bench(cpus: int, n_events: int, log_dir: str) -> dict:
     """CDC merge throughput at one parallelism level (call inside a
     fresh, CPU-pinned subprocess — see _merge_subprocess)."""
     from silk_spark.checkpoint import CheckpointStore
-    from silk_spark.datagen import changelog
     from silk_spark.session import get_spark
     from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
     import tempfile
@@ -81,17 +108,10 @@ def merge_bench(cpus: int, n_events: int) -> dict:
         shuffle_partitions=64,
         extra_conf={"spark.local.dir": os.path.join(root, "scratch")},
     )
-    # Materialize the synthetic log to parquet once (outside the timed
-    # region) and tail it from storage — the real binlog shape. Range-
-    # partitioned by lsn so each batch's range filter prunes to ~1/6 of
-    # the files via row-group stats.
-    log_dir = os.path.join(root, "log")
-    changelog(
-        spark, n_events, n_convs=max(n_events // 200, 1000), turns_per_conv=50, seed=42
-    ).repartitionByRange(64, "lsn").write.parquet(log_dir)
     table = create_transcripts_table(
         spark, os.path.join(root, "t"), n_buckets=64,
         merge_mode=os.environ.get("SILK_BENCH_MODE", "mor"),
+        delta_layout=os.environ.get("SILK_BENCH_LAYOUT", "unpartitioned"),
     )
     ckpt = CheckpointStore(os.path.join(root, "cp"))
     # path mode: footer-stats file pruning + bounds-join slicing keeps
@@ -136,11 +156,11 @@ def _run_stage(code: str, pin_cpus: int | None) -> dict:
     raise RuntimeError(f"bench subprocess failed:\n{proc.stderr[-2000:]}")
 
 
-def _merge_subprocess(cpus: int) -> dict:
+def _merge_subprocess(cpus: int, log_dir: str) -> dict:
     repo = os.path.dirname(os.path.abspath(__file__))
     code = (
         f"import json, sys; sys.path.insert(0, {repo!r}); import bench; "
-        f"print('@RESULT@' + json.dumps(bench.merge_bench({cpus}, {N_EVENTS})))"
+        f"print('@RESULT@' + json.dumps(bench.merge_bench({cpus}, {N_EVENTS}, {log_dir!r})))"
     )
     return _run_stage(code, pin_cpus=cpus)
 
@@ -158,10 +178,14 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     small_cpus = max(CPUS // 4, 1)
     levels = [CPUS, small_cpus] if RUN_SCALING else [CPUS]
+    log_dir = make_log(N_EVENTS)
     samples: dict[int, list[dict]] = {c: [] for c in levels}
-    for _ in range(REPEATS):
-        for c in levels:  # interleaved: environment drift hits both levels
-            samples[c].append(_merge_subprocess(c))
+    try:
+        for _ in range(REPEATS):
+            for c in levels:  # interleaved: environment drift hits both levels
+                samples[c].append(_merge_subprocess(c, log_dir))
+    finally:
+        shutil.rmtree(os.path.dirname(log_dir), ignore_errors=True)
     # best-of-repeats: samples rise monotonically across a run (host/
     # page-cache warm-up on this shared VM), so the max is the best
     # estimate of steady-state throughput; all samples are reported

@@ -346,7 +346,73 @@ def simhash_hamming_pairs(
 
 
 # ---------------------------------------------------------------------------
-# 5. embedding cosine near-dup
+# 5. near-dup clusters (connected components + survivorship)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    left_col: str = "left_id",
+    right_col: str = "right_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """(id, cluster_id) via iterative min-label propagation: every node
+    starts labeled with itself; each round every node takes the min
+    label in its closed neighborhood. Converges in O(cluster diameter)
+    rounds — near-dup clusters are shallow (pairs share content), so
+    `max_iter` rounds of [join + groupBy min] suffice; each round is
+    two shuffles over |edges| + |nodes|, no driver-side graph.
+
+    The distributed-iteration face of Silk's transitive link handling;
+    survivorship (keep min id per cluster) mirrors exact_dedup's
+    min-id winner rule."""
+    und = edges.select(
+        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
+    ).union(edges.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
+    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neigh = (
+            und.join(labels, und["dst"] == labels["nid"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["nid"] == neigh["src"], "left")
+            .select(
+                "nid",
+                F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+            )
+        )
+        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_iter: int = 10,
+) -> DataFrame:
+    """Survivorship view of near-dup detection: group documents into
+    clusters transitively connected by shingle-Jaccard >= threshold,
+    keep min doc id as the canonical survivor. (doc_id, cluster_id,
+    is_survivor)."""
+    pairs = ngram_jaccard_pairs(df, threshold, shingle_n, text_col, id_col)
+    nodes = df.select(F.col(id_col).alias("id"))
+    cc = connected_components(nodes, pairs, max_iter=max_iter)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 6. embedding cosine near-dup
 # ---------------------------------------------------------------------------
 
 

@@ -115,8 +115,16 @@ class LakeTable:
         n_buckets: int = 32,
         merge_mode: str = "cow",
         meta_io=None,
+        delta_layout: str = "bucketed",
     ) -> "LakeTable":
+        """`delta_layout` (MOR only): "bucketed" shuffles each batch
+        into the bucket layout at write time; "unpartitioned" appends
+        the batch AS SCANNED — zero exchanges, the high-rate ingest
+        layout (Hudi/Paimon-style append) — and `compact()` re-clusters
+        the global deltas into buckets. Unpartitioned deltas cannot be
+        bucket-pruned until compacted (manifest bucket key "*")."""
         assert merge_mode in ("cow", "mor")
+        assert delta_layout in ("bucketed", "unpartitioned")
         t = LakeTable(spark, root, meta_io=meta_io)
         os.makedirs(t.meta_dir, exist_ok=True)
         os.makedirs(t.data_dir, exist_ok=True)
@@ -127,6 +135,7 @@ class LakeTable:
             "version_cols": version_cols or VERSION_ORDER,
             "n_buckets": n_buckets,
             "merge_mode": merge_mode,
+            "delta_layout": delta_layout,
             "registry": registry.to_dict(),
             "current_snapshot_id": None,
             "snapshots": [],
@@ -206,7 +215,9 @@ class LakeTable:
             resolve = meta.get("merge_mode", "cow") == "mor"
         files_by_bucket = self._bucket_files()
         if buckets is not None:
-            wanted = {str(b) for b in buckets}
+            # "*" = unpartitioned delta files: they may hold rows of ANY
+            # bucket, so every bucket-subset read must include them
+            wanted = {str(b) for b in buckets} | {"*"}
             files_by_bucket = {b: fs for b, fs in files_by_bucket.items() if b in wanted}
         all_files = [self._file_entry(e) for fs in files_by_bucket.values() for e in fs]
         schema = self.schema
@@ -318,7 +329,7 @@ class LakeTable:
 
         if mode == "mor":
             # ONE Spark job per micro-batch: lineage rides the write via
-            # an Observation on the deduped stream (no separate stats
+            # an Observation on the change stream (no separate stats
             # job, no cache); per-bucket counts come from the freshly
             # written parquet footers (local metadata reads). At high
             # batch rates the per-batch fixed cost IS the throughput
@@ -329,15 +340,29 @@ class LakeTable:
                 F.count(F.lit(1)).alias("rows"),
                 F.sum(F.when(F.col("op") == "D", 1).otherwise(0)).alias("deletes"),
             )
-            (
-                out.repartition(n_buckets, "_bucket")
-                .write.mode("overwrite")
-                .partitionBy("_bucket")
-                .parquet(snap_dir)
-            )
-            rows_in_batch = int(obs.get["rows"] or 0)
-            rows_deleted = int(obs.get["deletes"] or 0)
-            changed_buckets, partition_stats = _bucket_stats_from_footers(snap_dir)
+            if meta.get("delta_layout", "bucketed") == "unpartitioned":
+                # ZERO-shuffle append: write the batch as scanned (the
+                # only exchange-free plan — scan parallelism flows
+                # straight into the parquet writers). Deltas land under
+                # manifest key "*" and are re-clustered by compact().
+                out.drop("_bucket").write.mode("overwrite").parquet(snap_dir)
+                changed_buckets = ["*"]
+                # obs.get LAST: it blocks on the async listener bus
+                # (~100-500 ms after job end); done after the local
+                # bookkeeping the wait overlaps it
+                rows_in_batch = int(obs.get["rows"] or 0)
+                rows_deleted = int(obs.get["deletes"] or 0)
+                partition_stats = {"*": rows_in_batch}
+            else:
+                (
+                    out.repartition(n_buckets, "_bucket")
+                    .write.mode("overwrite")
+                    .partitionBy("_bucket")
+                    .parquet(snap_dir)
+                )
+                rows_in_batch = int(obs.get["rows"] or 0)
+                rows_deleted = int(obs.get["deletes"] or 0)
+                changed_buckets, partition_stats = _bucket_stats_from_footers(snap_dir)
         else:
             # COW needs the touched-bucket set BEFORE it can scan the
             # base side, so it is inherently two jobs; cache the deduped
@@ -371,10 +396,10 @@ class LakeTable:
             changes.unpersist()
 
         # build new file manifest: COW replaces touched buckets' files,
-        # MOR appends delta files to them
+        # MOR appends delta files to them ("*" = unpartitioned deltas)
         files = {b: list(fs) for b, fs in self._bucket_files().items()}
         for b in changed_buckets:
-            bdir = os.path.join(snap_dir, f"_bucket={b}")
+            bdir = snap_dir if b == "*" else os.path.join(snap_dir, f"_bucket={b}")
             new_files = [
                 [os.path.join(bdir, f), schema.schema_id]
                 for f in sorted(os.listdir(bdir))

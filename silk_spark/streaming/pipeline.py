@@ -47,6 +47,7 @@ def create_transcripts_table(
     n_buckets: int = 32,
     with_tool: bool = False,
     merge_mode: str = "cow",
+    delta_layout: str = "bucketed",
 ) -> LakeTable:
     return LakeTable.create(
         spark,
@@ -56,6 +57,7 @@ def create_transcripts_table(
         version_cols=VERSION_ORDER,
         n_buckets=n_buckets,
         merge_mode=merge_mode,
+        delta_layout=delta_layout,
     )
 
 

@@ -70,6 +70,32 @@ class TestSimHash:
         assert len(got) >= 0.7 * len(truth)  # banded simhash recall
 
 
+class TestConnectedComponents:
+    def test_chain_and_islands(self, spark):
+        """A 5-node chain (diameter 4), a triangle, and an isolated
+        node resolve to min-id components within max_iter rounds."""
+        nodes = spark.createDataFrame([(i,) for i in range(9)], "id bigint")
+        edges = spark.createDataFrame(
+            [(0, 1), (1, 2), (2, 3), (3, 4), (5, 6), (6, 7), (5, 7)],
+            "left_id bigint, right_id bigint",
+        )
+        got = {
+            r["id"]: r["cluster_id"]
+            for r in ds.connected_components(nodes, edges, max_iter=6).collect()
+        }
+        assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 5, 8: 8}
+
+    def test_survivorship_view(self, docs):
+        out = ds.near_dup_clusters(docs, threshold=0.5).collect()
+        by_cluster = {}
+        for r in out:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, rows in by_cluster.items():
+            assert cid == min(r["doc_id"] for r in rows)
+            survivors = [r for r in rows if r["is_survivor"]]
+            assert len(survivors) == 1 and survivors[0]["doc_id"] == cid
+
+
 class TestEmbeddingNearDup:
     def test_lsh_agrees_with_bruteforce(self, emb):
         brute = pairset(ds.embedding_near_dup_pairs(emb, threshold=0.5))

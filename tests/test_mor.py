@@ -74,6 +74,33 @@ def test_mor_compaction_preserves_state(spark, log, tmp_path_factory):
     assert all(len(v) <= 2 for v in files.values())
 
 
+def test_unpartitioned_delta_layout(spark, log, tmp_path_factory):
+    """Zero-shuffle MOR layout: deltas append as scanned under manifest
+    key '*'; final state equals the bucketed layout; bucket-subset
+    scans still see global-delta rows; compact() re-clusters into
+    buckets and drops the '*' entry."""
+    root = str(tmp_path_factory.mktemp("mor_unpart"))
+    t = create_transcripts_table(
+        spark, os.path.join(root, "t"), n_buckets=8, merge_mode="mor",
+        delta_layout="unpartitioned",
+    )
+    cp = CheckpointStore(os.path.join(root, "cp"))
+    CdcPipeline(spark, t, cp, changelog=log).run(end_lsn=3000, batch_size=700)
+    assert "*" in t.meta["snapshots"][-1]["files"]
+    want = normalize(final_state_oracle(log.toPandas()))
+    got = normalize(t.read().toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    # bucket-subset read covers all rows (global deltas always read)
+    full = t.scan(resolve=True).count()
+    per_bucket = sum(t.scan(buckets=[b], resolve=True).filter(f"_bucket = {b}").count() for b in range(8))
+    assert per_bucket == full
+    # compaction folds into bucketed layout
+    t.compact()
+    files = t.refresh().meta["snapshots"][-1]["files"]
+    assert "*" not in files and len(files) > 0
+    pd.testing.assert_frame_equal(normalize(t.read().toPandas()), want)
+
+
 def test_in_memory_metadata_backend(spark, log, tmp_path_factory):
     """The metadata-IO abstraction is real: the same merge pipeline
     runs against the dict-backed fake (no metadata files on disk) and
