@@ -42,12 +42,13 @@ import time
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# 96M default: 16M-event micro-batches amortize the ~2s of fixed
+# 64M default: 10.7M-event micro-batches amortize the ~2s of fixed
 # per-batch latency (task scheduling, broadcast, observe listener,
 # driver commit) that otherwise masks CPU scaling at 32 cores —
 # batch sizing is the real-world lever too (10^10 events/day arrives
-# in >=100M-event batches, where the fixed term is <1%)
-N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "96000000"))
+# in >=100M-event batches, where the fixed term is <1%). 64M keeps a
+# full interleaved best-of-3 run under ~25 min on a quiet host.
+N_EVENTS = int(os.environ.get("SILK_BENCH_EVENTS", "64000000"))
 REPEATS = int(os.environ.get("SILK_BENCH_REPEATS", "3"))
 RUN_SCALING = os.environ.get("SILK_BENCH_SCALING", "1") != "0"
 
