@@ -358,12 +358,14 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup survivorship: transitive clusters over the shingle-
     Jaccard pair graph via iterative min-label propagation (a genuinely
-    iterative distributed algorithm — O(diameter) rounds of join +
-    groupBy min), canonical survivor = min doc id. Oracle: DuckDB
-    recursive CTE computing the same components."""
+    iterative distributed algorithm — runs to the DETECTED fixpoint,
+    O(diameter) rounds of join + groupBy min), canonical survivor =
+    min doc id. Oracle: DuckDB recursive CTE computing the same
+    components. Pair candidates use the sound prefix filter (subquad
+    under hot shingles, provably lossless at the threshold)."""
     from silk_spark.operators.dedup_suite import near_dup_clusters
 
-    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5, max_iter=6)
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:

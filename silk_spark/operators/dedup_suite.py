@@ -90,9 +90,7 @@ def jaccard_similarity(a: Column, b: Column) -> Column:
 
 
 
-def _verified_pairs(
-    df, exploded_ids, shingles, threshold: float
-):
+def _verified_pairs(exploded_ids, shingles, threshold: float):
     """Shared tail of every candidate-based dedup: candidates as BARE
     ID pairs (explode -> equi-join -> a.id < b.id -> dropDuplicates),
     then re-attach each side's shingles with two joins and verify with
@@ -117,29 +115,56 @@ def _verified_pairs(
     )
 
 
+def shingle_prefix_index(
+    docs: DataFrame, threshold: float, prefix: int | str | None = "auto"
+) -> DataFrame:
+    """(id, _block) index rows for candidate generation over a
+    (id, sh: array<string>) frame.
+
+    The positional prefix filter (Chaudhuri et al. ICDE'06; Xiao et
+    al. PPJoin, WWW'08 Lemma 1) is ON by default: only each doc's
+    floor((1-t)*|sh|)+1 lexicographically-smallest shingles are
+    indexed. Soundness: Jaccard(X,Y) >= t implies overlap
+    |X∩Y| >= t*|X∪Y| >= ceil(t*max(|X|,|Y|)), and the prefix lemma
+    says two sets with overlap >= o MUST share an element within
+    their (|X|-o+1)- and (|Y|-o+1)-prefixes under any global total
+    order; floor((1-t)|X|)+1 >= |X|-ceil(t|X|)+1 >= |X|-o+1, so the
+    candidate set provably contains every qualifying pair — while a
+    ubiquitous ("hot") shingle that sorts outside the prefix no
+    longer creates an O(n²) block.
+
+    `prefix`: "auto" = the sound per-doc bound above; an int = fixed
+    prefix length (caller guarantees soundness); None = index every
+    shingle (exact recall without any assumption, quadratic risk)."""
+    index = F.array_sort(F.col("sh"))
+    if prefix == "auto":
+        plen = (F.floor(F.lit(1.0 - threshold) * F.size("sh")) + 1).cast("int")
+        index = F.slice(index, F.lit(1), plen)
+    elif prefix is not None:
+        index = F.slice(index, 1, prefix)
+    return docs.select("id", F.explode(index).alias("_block"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    prefix: int | None = None,
+    prefix: int | str | None = "auto",
 ) -> DataFrame:
     """All unordered doc pairs with shingle-Jaccard >= threshold.
 
-    Candidates: docs sharing >= 1 shingle (prefix-filtered when
-    `prefix` set: only the `prefix` lexicographically-smallest
-    shingles are indexed — the positional prefix filter that makes
-    this subquadratic; sound for threshold t when
-    prefix >= floor((1-t)*|shingles|) + 1)."""
+    Candidates: docs sharing >= 1 INDEXED shingle, where the index is
+    prefix-filtered by default (see shingle_prefix_index — provably
+    lossless at `threshold`, subquadratic under hot shingles); the
+    exact-Jaccard verify removes all false positives, so the result
+    set is identical for any sound `prefix` setting."""
     docs = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    index = F.array_sort(F.col("sh"))
-    if prefix is not None:
-        index = F.slice(index, 1, prefix)
-    exploded = docs.select("id", F.explode(index).alias("_block"))
-    return _verified_pairs(df, exploded, docs, threshold)
+    exploded = shingle_prefix_index(docs, threshold, prefix)
+    return _verified_pairs(exploded, docs, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -198,7 +223,7 @@ def minhash_lsh_pairs(
     shingles = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    return _verified_pairs(df, exploded, shingles, threshold)
+    return _verified_pairs(exploded, shingles, threshold)
 
 
 # ---------------------------------------------------------------------------
@@ -259,7 +284,7 @@ def simhash_pairs(
     shingles = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
-    return _verified_pairs(df, exploded, shingles, threshold)
+    return _verified_pairs(exploded, shingles, threshold)
 
 
 def simhash60_signature(
@@ -356,14 +381,21 @@ def connected_components(
     id_col: str = "id",
     left_col: str = "left_id",
     right_col: str = "right_id",
-    max_iter: int = 10,
+    max_iter: int = 50,
 ) -> DataFrame:
     """(id, cluster_id) via iterative min-label propagation: every node
     starts labeled with itself; each round every node takes the min
-    label in its closed neighborhood. Converges in O(cluster diameter)
-    rounds — near-dup clusters are shallow (pairs share content), so
-    `max_iter` rounds of [join + groupBy min] suffice; each round is
-    two shuffles over |edges| + |nodes|, no driver-side graph.
+    label in its closed neighborhood. Each round is two shuffles over
+    |edges| + |nodes|, no driver-side graph.
+
+    Convergence is DETECTED, not assumed: the loop stops at the first
+    round that changes zero labels (the changed-count rides the
+    checkpointed frame, so the check is one cheap count on already-
+    materialized data). `max_iter` is only a safety cap — a graph
+    whose diameter exceeds it raises instead of silently returning
+    split clusters (a chain of near-dups longer than the cap would
+    otherwise mislabel and diverge from the transitive-closure
+    oracle).
 
     The distributed-iteration face of Silk's transitive link handling;
     survivorship (keep min id per cluster) mirrors exact_dedup's
@@ -383,9 +415,18 @@ def connected_components(
             .select(
                 "nid",
                 F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("label"),
+                (F.coalesce(F.col("nlabel") < F.col("label"), F.lit(False))).alias("_chg"),
             )
         )
-        labels = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        checkpointed = new_labels.localCheckpoint(eager=True)  # cut lineage per round
+        labels = checkpointed.drop("_chg")
+        if checkpointed.filter(F.col("_chg")).limit(1).count() == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter} "
+            "rounds — raise the cap (component diameter exceeds it)"
+        )
     return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
 
 
@@ -395,13 +436,16 @@ def near_dup_clusters(
     shingle_n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
-    max_iter: int = 10,
+    max_iter: int = 50,
+    prefix: int | str | None = "auto",
 ) -> DataFrame:
     """Survivorship view of near-dup detection: group documents into
     clusters transitively connected by shingle-Jaccard >= threshold,
     keep min doc id as the canonical survivor. (doc_id, cluster_id,
-    is_survivor)."""
-    pairs = ngram_jaccard_pairs(df, threshold, shingle_n, text_col, id_col)
+    is_survivor). Candidate generation uses the sound prefix filter by
+    default (see shingle_prefix_index); label propagation stops at the
+    detected fixpoint, `max_iter` is a safety cap only."""
+    pairs = ngram_jaccard_pairs(df, threshold, shingle_n, text_col, id_col, prefix=prefix)
     nodes = df.select(F.col(id_col).alias("id"))
     cc = connected_components(nodes, pairs, max_iter=max_iter)
     return cc.select(

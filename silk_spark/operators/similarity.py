@@ -13,7 +13,7 @@ table is tiny and broadcast."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from silk_spark.operators.dedup_suite import cosine_similarity, vec_norm

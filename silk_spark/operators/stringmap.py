@@ -108,10 +108,19 @@ def fastmap_fit(
             if 0 < d <= dist_threshold:
                 md = sum((coords[i][t] - coords[j][t]) ** 2 for t in range(dimensionality)) ** 0.5
                 mapped_threshold = max(mapped_threshold, md)
-    if mapped_threshold == 0.0:
-        # no in-threshold sample pair: fall back to the true threshold
-        # (mapped distance is contractive, so this keeps recall)
-        mapped_threshold = float(dist_threshold)
+    # CLAMP to a floor derived from the true threshold: the learned
+    # radius is a max over SAMPLED in-threshold pairs — an unsampled
+    # true pair with a larger mapped distance would be dropped, and
+    # FastMap on Levenshtein is NOT provably contractive (residual
+    # spaces can expand distances: measured expansion on an
+    # adversarial fit — pivots from a disjoint string population —
+    # reaches ~1.16x the true distance). The 1.5x margin covers that
+    # observed expansion with headroom, so recall stays 1.0 even when
+    # the sample contains no in-threshold pair at all (pinned by
+    # test_recall_survives_unsampled_true_pairs). Pruning is a
+    # candidate filter only — the exact verify downstream keeps
+    # precision exact regardless.
+    mapped_threshold = max(mapped_threshold, 1.5 * float(dist_threshold))
     return FastMapModel(
         pivots_a=[values[i] for i in pa],
         pivots_b=[values[i] for i in pb],
@@ -177,6 +186,18 @@ def stringmap_candidate_pairs(
         .limit(sample_size)
         .collect()
     ]
+    if not sample:
+        # both inputs empty / all-null keys: nothing can pair — return
+        # an empty frame with the contract schema instead of crashing
+        # inside the pivot fit
+        lcols = [F.col(c).alias(f"left_{c}") for c in left.columns]
+        rcols = [F.col(c).alias(f"right_{c}") for c in right.columns]
+        return (
+            left.limit(0)
+            .select(*lcols)
+            .crossJoin(right.limit(0).select(*rcols))
+            .withColumn("mapped_dist", F.lit(0.0))
+        )
     model = fastmap_fit(sample, dimensionality, dist_threshold)
     coord = fastmap_coordinates(model)
     w = model.mapped_threshold

@@ -66,8 +66,10 @@ class TransformSpec:
         """Nested ObjectMapping (TransformRule.scala:376-431): the
         child spec's rules become fields of ONE struct column (its uri
         rule becomes a `_uri` field), still inside the single parent
-        projection. Child validation failures tag the parent `_errors`
-        as 'target.field'."""
+        projection. Nesting is recursive — a child spec may itself
+        contain obj() rules (the reference nests ObjectMapping
+        arbitrarily); validation failures at any depth tag the parent
+        `_errors` with the dotted path 'target.child…field'."""
         self.rules.append(ObjectRule(target, child))
         return self
 
@@ -88,38 +90,9 @@ class TransformSpec:
         (array<string> of failed rule names, empty = clean row).
         The Observation aggregates row/error counts when an action
         runs — the TransformReport analogue, zero extra jobs."""
-        cols: list[Column] = []
-        error_tags: list[Column] = []
+        cols, error_tags = self._compile(df, prefix="")
         if self.uri_rule is not None:
-            cols.append(self.uri_rule.build(df).alias(self.uri_rule.target))
-        for rule in self.rules:
-            if isinstance(rule, ObjectRule):
-                fields: list[Column] = []
-                child = rule.child
-                if child.uri_rule is not None:
-                    fields.append(child.uri_rule.build(df).alias("_uri"))
-                for cr in child.rules:
-                    raw = cr.build(df)
-                    if cr.validate is not None:
-                        ok = cr.validate(raw)
-                        fields.append(F.when(ok, raw).alias(cr.target))
-                        error_tags.append(
-                            F.when(
-                                ~F.coalesce(ok, F.lit(False)),
-                                F.lit(f"{rule.target}.{cr.target}"),
-                            )
-                        )
-                    else:
-                        fields.append(raw.alias(cr.target))
-                cols.append(F.struct(*fields).alias(rule.target))
-                continue
-            raw = rule.build(df)
-            if rule.validate is not None:
-                ok = rule.validate(raw)
-                cols.append(F.when(ok, raw).alias(rule.target))
-                error_tags.append(F.when(~F.coalesce(ok, F.lit(False)), F.lit(rule.target)))
-            else:
-                cols.append(raw.alias(rule.target))
+            cols.insert(0, self.uri_rule.build(df).alias(self.uri_rule.target))
         errors = F.array_compact(F.array(*error_tags)) if error_tags else F.array().cast(
             "array<string>"
         )
@@ -131,6 +104,35 @@ class TransformSpec:
             F.sum(F.when(F.size("_errors") > 0, 1).otherwise(0)).alias("rows_with_errors"),
         )
         return out, obs
+
+    def _compile(self, df: DataFrame, prefix: str) -> tuple[list[Column], list[Column]]:
+        """Recursively lower this spec's rules into (columns, error
+        tags). ObjectRules recurse: their child's columns fold into a
+        struct (with the child's uri rule as a `_uri` field) and the
+        child's error tags bubble up with dotted prefixes, so nested
+        obj()-in-obj() compiles into nested struct literals inside the
+        SAME single projection."""
+        cols: list[Column] = []
+        error_tags: list[Column] = []
+        for rule in self.rules:
+            if isinstance(rule, ObjectRule):
+                child_prefix = f"{prefix}{rule.target}."
+                fields, child_tags = rule.child._compile(df, prefix=child_prefix)
+                if rule.child.uri_rule is not None:
+                    fields.insert(0, rule.child.uri_rule.build(df).alias("_uri"))
+                cols.append(F.struct(*fields).alias(rule.target))
+                error_tags.extend(child_tags)
+                continue
+            raw = rule.build(df)
+            if rule.validate is not None:
+                ok = rule.validate(raw)
+                cols.append(F.when(ok, raw).alias(rule.target))
+                error_tags.append(
+                    F.when(~F.coalesce(ok, F.lit(False)), F.lit(f"{prefix}{rule.target}"))
+                )
+            else:
+                cols.append(raw.alias(rule.target))
+        return cols, error_tags
 
     @staticmethod
     def clean(transformed: DataFrame) -> DataFrame:

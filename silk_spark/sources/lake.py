@@ -255,6 +255,15 @@ class LakeTable:
         aligned = df.withColumn(
             "_bucket", bucket_expr(meta["key_cols"][0], meta["n_buckets"])
         )
+        if buckets is not None:
+            # unpartitioned ("*") delta files carry rows of EVERY bucket;
+            # after recomputing _bucket, drop the out-of-scope ones so the
+            # pruned-scan contract holds (those keys' base-bucket files
+            # were pruned above — resolving them against deltas alone
+            # would surface stale versions)
+            aligned = aligned.filter(
+                F.col("_bucket").isin([int(b) for b in buckets])
+            )
         if resolve:
             aligned = latest_by_key(aligned, meta["key_cols"], meta["version_cols"])
         if not with_tombstones and "op" in schema.names():

@@ -98,15 +98,26 @@ def apply_batch(
     return summary
 
 
-def lsn_file_index(path: str, col: str = "lsn") -> list[tuple[str, int, int]]:
+def lsn_file_index(
+    path: str,
+    col: str = "lsn",
+    known: dict[str, tuple[int, int]] | None = None,
+) -> list[tuple[str, int, int]]:
     """(file, min_lsn, max_lsn) from parquet footer stats — the
     driver-side file-pruning index for an append-only log dir.
-    Thread-pooled local metadata reads, no Spark job."""
+    Thread-pooled local metadata reads, no Spark job.
+
+    `known` maps already-indexed paths to their (min, max) stats so a
+    refresh only reads footers of files appended since the last call —
+    the driver cost of tailing a growing log is O(new files), not
+    O(all files). (Log files are immutable once written — binlog/WAL
+    shape — so cached stats never go stale.)"""
     import os
     from concurrent.futures import ThreadPoolExecutor
 
     import pyarrow.parquet as pq
 
+    known = known or {}
     paths = sorted(
         os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
     )
@@ -123,8 +134,10 @@ def lsn_file_index(path: str, col: str = "lsn") -> list[tuple[str, int, int]]:
             mxs.append(st.max)
         return p, min(mns), max(mxs)
 
+    new_paths = [p for p in paths if p not in known]
     with ThreadPoolExecutor(max_workers=16) as pool:
-        return list(pool.map(stats, paths))
+        fresh = dict((p, (mn, mx)) for p, mn, mx in pool.map(stats, new_paths))
+    return [(p, *(known.get(p) or fresh[p])) for p in paths]
 
 
 class CdcPipeline:
@@ -170,17 +183,38 @@ class CdcPipeline:
             return self._changelog
         return self.spark.read.parquet(self._changelog_path)
 
+    def refresh_file_index(self) -> None:
+        """(Re)build the footer-stats index, reading only footers of
+        files appended since the last refresh. Called at the start of
+        every run() — a pipeline instance tailing a growing log must
+        see files that landed after its previous run (the cached index
+        would otherwise silently return empty slices for lsn ranges
+        the checkpoint then commits: permanent data loss)."""
+        if self._changelog_path is None:
+            return
+        known = (
+            {p: (mn, mx) for p, mn, mx in self._file_index}
+            if self._file_index
+            else None
+        )
+        self._file_index = lsn_file_index(self._changelog_path, known=known)
+        if self._log_ddl is None:
+            self._log_ddl = ", ".join(
+                f"{f.name} {f.dataType.simpleString()}" for f in self._log().schema.fields
+            )
+
     def _batch_frame(self, lo: int, hi: int) -> DataFrame:
         """The [lo, hi) slice with a batch-invariant generated plan."""
         if self._changelog is not None:
             # caller-supplied frame (tests, streaming face): literal
             # filter — correctness identical, plan recompiles per batch
             return self._changelog.filter((F.col("lsn") >= lo) & (F.col("lsn") < hi))
-        if self._file_index is None:
-            self._file_index = lsn_file_index(self._changelog_path)
-            self._log_ddl = ", ".join(
-                f"{f.name} {f.dataType.simpleString()}" for f in self._log().schema.fields
-            )
+        if self._file_index is None or (
+            self._file_index and hi > max(mx for _, _, mx in self._file_index) + 1
+        ):
+            # also refresh mid-run when a requested range extends past
+            # the indexed coverage (log grew while we were applying)
+            self.refresh_file_index()
         files = [p for p, mn, mx in self._file_index if mx >= lo and mn < hi]
         if not files:
             return self.spark.createDataFrame([], self._log_ddl)
@@ -213,6 +247,7 @@ class CdcPipeline:
         `compact_every` folds MOR delta files every k applied batches —
         bounds read amplification on a long-running tail (file count
         per bucket stays <= k + 1)."""
+        self.refresh_file_index()  # pick up files appended since the last run
         start = self.resume_lsn() if start_lsn is None else start_lsn
         results = []
         batch_no = 0

@@ -37,10 +37,12 @@ class TestExactDedup:
 
 class TestNgramJaccard:
     def test_prefix_filter_is_lossless(self, docs):
-        full = pairset(ds.ngram_jaccard_pairs(docs, threshold=0.5))
-        # prefix bound floor((1-t)*|sh|)+1 is data-dependent; a generous
-        # fixed prefix must agree with the exhaustive index
+        # exhaustive index (prefix=None) vs the sound per-doc default
+        # ("auto") vs a generous fixed prefix: identical pair sets
+        full = pairset(ds.ngram_jaccard_pairs(docs, threshold=0.5, prefix=None))
+        auto = pairset(ds.ngram_jaccard_pairs(docs, threshold=0.5))
         pref = pairset(ds.ngram_jaccard_pairs(docs, threshold=0.5, prefix=60))
+        assert auto == full
         assert pref == full
 
     def test_symmetric_and_thresholded(self, docs):
@@ -48,6 +50,42 @@ class TestNgramJaccard:
         rows = out.collect()
         assert all(r.left_id < r.right_id for r in rows)
         assert all(r.jaccard >= 0.5 for r in rows)
+
+    def test_hot_shingle_stays_subquadratic(self, spark):
+        """500 docs sharing one ubiquitous shingle: the exhaustive
+        index pairs everything through the hot block (O(n²)); the
+        default sound prefix keeps candidates near-linear AND loses no
+        qualifying pair. The hot shingle sorts last ('zz...') so every
+        doc's prefix excludes it."""
+        n, words = 500, 12
+        rows = [
+            (i, " ".join(f"w{i}x{j}" for j in range(words)) + " zz hot shingle")
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        docs = df.select(
+            F.col("doc_id").alias("id"), ds.word_shingles(F.col("text"), 3).alias("sh")
+        )
+
+        def n_candidates(prefix):
+            idx = ds.shingle_prefix_index(docs, threshold=0.8, prefix=prefix)
+            l = idx.select(F.col("id").alias("a"), "_block")
+            r = idx.select(F.col("id").alias("b"), "_block")
+            return (
+                l.join(r, "_block")
+                .filter(F.col("a") < F.col("b"))
+                .dropDuplicates(["a", "b"])
+                .count()
+            )
+
+        exhaustive = n_candidates(None)
+        pruned = n_candidates("auto")
+        assert exhaustive >= n * (n - 1) / 2  # hot blocks go quadratic
+        assert pruned <= 5 * n  # sound prefix: O(n * prefix) candidates
+        # and the verified result is identical (here: empty both ways)
+        assert pairset(ds.ngram_jaccard_pairs(df, threshold=0.8)) == pairset(
+            ds.ngram_jaccard_pairs(df, threshold=0.8, prefix=None)
+        )
 
 
 class TestMinHashLSH:
@@ -84,6 +122,29 @@ class TestConnectedComponents:
             for r in ds.connected_components(nodes, edges, max_iter=6).collect()
         }
         assert got == {0: 0, 1: 0, 2: 0, 3: 0, 4: 0, 5: 5, 6: 5, 7: 5, 8: 8}
+
+    def test_long_chain_converges_past_default_rounds(self, spark):
+        """A 13-node chain (diameter 12): convergence detection must
+        keep iterating until the fixpoint, not stop at a fixed round
+        count — a silently-split chain was the round-2 latent bug."""
+        n = 13
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "left_id bigint, right_id bigint"
+        )
+        got = {r["id"]: r["cluster_id"] for r in ds.connected_components(nodes, edges).collect()}
+        assert got == {i: 0 for i in range(n)}
+
+    def test_cap_exceeded_raises_not_mislabels(self, spark):
+        """If the safety cap is genuinely too small, the call must fail
+        loudly instead of returning split clusters."""
+        n = 13
+        nodes = spark.createDataFrame([(i,) for i in range(n)], "id bigint")
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n - 1)], "left_id bigint, right_id bigint"
+        )
+        with pytest.raises(RuntimeError, match="did not converge"):
+            ds.connected_components(nodes, edges, max_iter=3)
 
     def test_survivorship_view(self, docs):
         out = ds.near_dup_clusters(docs, threshold=0.5).collect()

@@ -73,6 +73,36 @@ def test_path_mode_matches_dataframe_mode(spark, log, tmp_path):
     )
 
 
+def test_path_mode_sees_files_appended_between_runs(spark, log, tmp_path):
+    """The documented resume/tail pattern: one CdcPipeline instance,
+    log files appended between run() calls. The footer-stats index
+    must refresh per run (and only stat NEW files), or later slices
+    silently return empty frames while checkpoints commit the range —
+    permanent data loss."""
+    log_dir = str(tmp_path / "logg")
+    first = log.filter("lsn < 2000")
+    rest = log.filter("lsn >= 2000")
+    first.repartitionByRange(2, "lsn").write.parquet(log_dir)
+    # MOR: rows_in_batch counts raw batch rows (no in-batch dedup), so
+    # the applied-row accounting below is exact
+    table = create_transcripts_table(
+        spark, str(tmp_path / "tbl_g"), n_buckets=8, merge_mode="mor"
+    )
+    cp = CheckpointStore(str(tmp_path / "cp_g"))
+    pipe = CdcPipeline(spark, table, cp, changelog_path=log_dir)
+    pipe.run(end_lsn=2000, batch_size=500)
+    indexed_before = {p for p, _, _ in pipe._file_index}
+    # the tail lands AFTER the first run — same pipeline instance
+    rest.repartitionByRange(2, "lsn").write.mode("append").parquet(log_dir)
+    results = pipe.run(end_lsn=N_EVENTS, batch_size=500)
+    assert sum(r.get("rows_in_batch", 0) for r in results) == rest.count()
+    # incremental: previously-indexed paths were reused, new ones added
+    assert indexed_before < {p for p, _, _ in pipe._file_index}
+    got = normalize(table.read().toPandas())
+    want = final_state_oracle(log.toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_batching_invariance(spark, log, tmp_path):
     t1, _, _ = _run(spark, log, tmp_path, batch_size=250, name="c1")
     t2, _, _ = _run(spark, log, tmp_path, batch_size=2000, name="c2")

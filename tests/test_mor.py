@@ -90,10 +90,29 @@ def test_unpartitioned_delta_layout(spark, log, tmp_path_factory):
     want = normalize(final_state_oracle(log.toPandas()))
     got = normalize(t.read().toPandas())
     pd.testing.assert_frame_equal(got, want)
-    # bucket-subset read covers all rows (global deltas always read)
-    full = t.scan(resolve=True).count()
-    per_bucket = sum(t.scan(buckets=[b], resolve=True).filter(f"_bucket = {b}").count() for b in range(8))
+    # bucket-subset scan honors its contract: only the requested
+    # bucket's rows come back (global '*' deltas are read for
+    # completeness but out-of-scope keys — whose base files were
+    # pruned and would resolve stale — are filtered out), and the
+    # per-bucket scans partition the full resolve exactly
+    full_df = t.scan(resolve=True)
+    full = full_df.count()
+    per_bucket = 0
+    for b in range(8):
+        sub = t.scan(buckets=[b], resolve=True)
+        assert sub.filter(f"_bucket != {b}").count() == 0
+        per_bucket += sub.count()
     assert per_bucket == full
+    # value-level: one bucket's pruned scan == full resolve restricted
+    # to that bucket (catches delta-only stale resolution)
+    sub0 = normalize(
+        t.scan(buckets=[0], resolve=True, with_tombstones=False).drop("_bucket").toPandas()
+    ) if t.scan(buckets=[0], resolve=True, with_tombstones=False).count() else None
+    want0 = normalize(
+        full_df.filter("_bucket = 0").filter("op is null or op != 'D'").drop("_bucket").toPandas()
+    ) if sub0 is not None else None
+    if sub0 is not None:
+        pd.testing.assert_frame_equal(sub0, want0)
     # compaction folds into bucketed layout
     t.compact()
     files = t.refresh().meta["snapshots"][-1]["files"]

@@ -150,6 +150,34 @@ class TestObjectMapping:
         assert rows[2]["person"]["age"] is None
         assert rows[2]["_errors"] == ["person.age"]
 
+    def test_obj_nests_recursively(self, spark):
+        """The reference nests ObjectMapping arbitrarily: a child spec
+        containing its own obj() must compile into nested structs in
+        the one projection, with dotted error tags at every depth."""
+        from silk_spark.operators.transform_spec import TransformSpec
+
+        df = spark.createDataFrame(
+            [(1, "alice", 30, "NYC"), (2, "bob", -5, "x")],
+            "id int, name string, age int, city string",
+        )
+        address = TransformSpec().complex(
+            "city", lambda d: F.col("city"), validate=lambda c: F.length(c) >= 2
+        )
+        person = (
+            TransformSpec()
+            .direct("name", "name")
+            .complex("age", lambda d: F.col("age"), validate=lambda c: c >= 0)
+            .obj("address", address)
+        )
+        spec = TransformSpec().direct("id", "id").obj("person", person)
+        out, _ = spec.execute(df)
+        rows = {r["id"]: r for r in out.collect()}
+        assert rows[1]["person"]["address"]["city"] == "NYC"
+        assert rows[1]["_errors"] == []
+        assert rows[2]["person"]["age"] is None
+        assert rows[2]["person"]["address"]["city"] is None
+        assert sorted(rows[2]["_errors"]) == ["person.address.city", "person.age"]
+
 
 class TestPathLanguage:
     def test_parse_forms(self):

@@ -44,6 +44,22 @@ class TestFastMapModel:
         m2 = fastmap_fit(NAMES, dimensionality=5)
         assert m1 == m2
 
+    def test_threshold_clamped_to_true_distance(self):
+        """The learned pruning radius is a max over SAMPLED in-threshold
+        pairs; with a sample containing none (all strings mutually far)
+        the radius must clamp to dist_threshold, never below — an
+        unsampled true pair would otherwise be silently dropped."""
+        import hashlib
+
+        far = [hashlib.md5(str(i).encode()).hexdigest()[:16] for i in range(40)]
+        from silk_spark.functions.measures import _plain_levenshtein
+
+        assert all(
+            _plain_levenshtein(a, b) > 2 for i, a in enumerate(far) for b in far[i + 1 :]
+        )
+        m = fastmap_fit(far, dimensionality=8, dist_threshold=2)
+        assert m.mapped_threshold >= 2.0
+
 
 class TestCandidatePairs:
     def test_pairs_completeness_on_golden(self, spark):
@@ -71,3 +87,39 @@ class TestCandidatePairs:
         n = len(NAMES)
         distinct = cand.filter(F.col("left_name") != F.col("right_name")).count()
         assert distinct < n * (n - 1)  # strictly fewer than all ordered pairs
+
+    def test_recall_survives_unsampled_true_pairs(self, spark):
+        """Fit on a sample that (deterministically) misses every
+        in-threshold pair: 200 mutually-far hex strings dominate the
+        sample, the 5 planted near-dup pairs are a drop in it. The
+        clamped radius must still keep recall 1.0 on the planted
+        pairs."""
+        import hashlib
+
+        base = [hashlib.md5(f"far{i}".encode()).hexdigest()[:20] for i in range(200)]
+        planted = [
+            ("alpha beta gamma", "alpha beta gamm"),
+            ("delta epsilon zeta", "delta epsilon zet"),
+            ("ping pong table", "ping pong tible"),
+            ("quick brown foxes", "quick brown foxed"),
+            ("lazy sleeping dog", "lazy sleeping dig"),
+        ]
+        names = base + [s for p in planted for s in p]
+        df = spark.createDataFrame(
+            [(i, n) for i, n in enumerate(names)], "id int, name string"
+        )
+        cand = stringmap_candidate_pairs(
+            df, df, "name", "name", dist_threshold=2, dimensionality=8, sample_size=40
+        )
+        got = {
+            tuple(sorted((r["left_name"], r["right_name"]))) for r in cand.collect()
+        }
+        for p in planted:
+            assert tuple(sorted(p)) in got, f"planted pair lost: {p}"
+
+    def test_empty_input_returns_empty_frame(self, spark):
+        df = spark.createDataFrame([], "id int, name string")
+        cand = stringmap_candidate_pairs(df, df, "name", "name")
+        assert cand.count() == 0
+        assert "mapped_dist" in cand.columns
+        assert "left_name" in cand.columns and "right_name" in cand.columns
