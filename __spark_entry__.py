@@ -411,6 +411,74 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") < 50), emb, k=5, n_centroids=8, nprobe=8)
 
 
+_PROBE_OFFSET = 1000.0  # >> any embedding norm in testdata (~O(1))
+
+
+def _planted_embeddings(emb: DataFrame) -> DataFrame:
+    """Deterministic projection that plants 4 orthogonal clusters:
+    v'[i] = double(emb[i]) + OFFSET·[i == vec_id mod 4]. Same-cluster
+    cosine is ≥ ~0.99 and cross-cluster ≤ ~OFFSET·(|u|+|v|)/OFFSET² —
+    vanishing — so every vector's exact top-k provably lives in its own
+    cluster, making a small-nprobe IVF recall-1.0 BY CONSTRUCTION (the
+    testdata embeddings themselves are isotropic, so this projection is
+    the only way to value-check sub-linear probing against an exact
+    oracle)."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: x.cast("double")
+            + F.when(
+                i == F.pmod(F.col("vec_id"), F.lit(4)).cast("int"), F.lit(_PROBE_OFFSET)
+            ).otherwise(F.lit(0.0)),
+        ).alias("embedding"),
+    )
+
+
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with GENUINE sub-linear probing (nprobe=1 of 4 cells —
+    each query scores only ~1/4 of the corpus) over the planted
+    projection, where recall 1.0 is provable; the oracle is the exact
+    brute-force top-k over the same derived vectors, so the routing
+    itself (assignment + probe + cell-local scoring) is value-checked,
+    not just the fallback exact path."""
+    from silk_spark.operators.similarity import ivf_topk
+
+    emb = _planted_embeddings(_t(spark, sf_dir, "embeddings"))
+    cents = [
+        (c, [_PROBE_OFFSET if i == c else 0.0 for i in range(64)]) for c in range(4)
+    ]
+    return ivf_topk(emb.filter(F.col("vec_id") < 40), emb, k=5, centroids=cents, nprobe=1)
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline, REAL bytes end-to-end: derive
+    a deterministic BMP blob per document (md5-seeded pixels), resize
+    8×8 → 4×4 with the pure-Python nearest-neighbor BMP codec, decode
+    the resized blob and emit pixel statistics — three chained
+    mapInPandas stages over a binary column. The DuckDB oracle
+    recomputes the identical byte math from the md5 hex string (pixel
+    k = digest[k mod 16]; the resize picks fixed positions), so the
+    encode → resize → decode → analyze chain is value-checked."""
+    from silk_spark.operators.multimodal import (
+        bmp_media_from_ids,
+        media_stats,
+        resize_images,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = bmp_media_from_ids(docs, id_col="doc_id", width=8, height=8)
+    stats = media_stats(resize_images(media, 4, 4))
+    return stats.select(
+        "media_id",
+        "width",
+        "height",
+        F.round("mean_byte", 6).alias("mean_byte"),
+        "min_byte",
+        "max_byte",
+    )
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silk_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -615,6 +683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_embedding_lsh": q_dedup_embedding_lsh,
         "ann_topk": q_ann_topk,
         "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_probe": q_ann_ivf_probe,
+        "media_features": q_media_features,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -732,6 +802,61 @@ WITH s AS (
 )
 SELECT query_id, match_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
 """
+
+# Exact brute-force top-5 over the SAME planted projection the Spark
+# query routes with IVF nprobe=1: recall is 1.0 by construction (the
+# planted clusters are orthogonal with offset >> embedding norms), so
+# the probe path must reproduce the exact result bit-for-bit.
+_ANN_PROBE_SQL = """
+WITH v AS (
+  SELECT vec_id,
+         list_transform(generate_series(1, 64),
+           i -> embedding[i]::DOUBLE
+                + CASE WHEN i - 1 = vec_id % 4 THEN 1000.0 ELSE 0.0 END) AS ve
+  FROM embeddings
+), s AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS match_id,
+         list_cosine_similarity(q.ve, c.ve) AS cos
+  FROM v q JOIN v c ON q.vec_id < 40 AND q.vec_id != c.vec_id
+), r AS (
+  SELECT query_id, match_id, cos,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, match_id ASC) AS rank
+  FROM s
+)
+SELECT query_id, match_id, round(cos, 6) AS cosine, rank FROM r WHERE rank <= 5
+"""
+
+
+def _media_oracle(w: int = 8, h: int = 8, out_w: int = 4, out_h: int = 4) -> str:
+    """Recompute q_media_features' BMP byte math from the md5 hex
+    string: blob pixel k = digest byte (k mod 16); the nearest-neighbor
+    resize picks source pixel (x·w/out_w, y·h/out_h), so the resized
+    pixel byte positions are FIXED constants — inlined as a literal
+    list, statistics over digest bytes at those positions."""
+    pos = []
+    for y in range(out_h):
+        sy = (y * h) // out_h
+        for x in range(out_w):
+            sx = (x * w) // out_w
+            for c in range(3):
+                pos.append(((sy * w + sx) * 3 + c) % 16)
+    pos_sql = "[" + ", ".join(str(p) for p in pos) + "]"
+    return f"""
+WITH m AS (
+  SELECT doc_id, md5('silk-media:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), d AS (
+  SELECT doc_id,
+         list_transform({pos_sql}, p -> ('0x' || substr(hx, 2 * p + 1, 2))::INT) AS pb
+  FROM m
+)
+SELECT doc_id AS media_id,
+       {out_w} AS width, {out_h} AS height,
+       round(list_sum(pb)::DOUBLE / len(pb), 6) AS mean_byte,
+       list_min(pb) AS min_byte,
+       list_max(pb) AS max_byte
+FROM d
+"""
+
 
 _LANG_SCORE_SQL = """
   SELECT doc_id, w,
@@ -921,6 +1046,8 @@ WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.
         "dedup_embedding_lsh": _embedding_lsh_oracle(),
         "ann_topk": _ANN_SQL,
         "ann_ivf_topk": _ANN_SQL,
+        "ann_ivf_probe": _ANN_PROBE_SQL,
+        "media_features": _media_oracle(),
         "text_token_count": """
 WITH tw AS (
   SELECT doc_id, text,

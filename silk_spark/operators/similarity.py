@@ -145,14 +145,20 @@ def ivf_topk(
     nprobe: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[tuple[int, list[float]]] | None = None,
 ) -> DataFrame:
     """IVF ANN: assign corpus vectors to their nearest (Lloyd-trained)
     centroid, route each query to its `nprobe` nearest centroids,
     exact-score only within probed cells, top-k per query. Assignment
     and probing are inlined centroid expressions (k×dim floats — a
     broadcast variable in expression form), so neither side shuffles
-    before the cell-local scoring join."""
-    cents = collect_centroids(
+    before the cell-local scoring join.
+
+    `centroids` supplies a fixed coarse quantizer (skipping the Lloyd
+    fit) — for a pre-trained codebook, or for recall-provable planted
+    configurations where the cell structure is known by construction
+    (driver query `ann_ivf_probe`)."""
+    cents = centroids or collect_centroids(
         ivf_build_centroids(corpus, n_centroids, id_col, vec_col)
     )
     c = corpus.select(

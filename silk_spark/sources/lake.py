@@ -86,12 +86,17 @@ def bucket_expr(col: str, n_buckets: int) -> F.Column:
 
 
 class LakeTable:
-    """Single-writer copy-on-write table with snapshot isolation.
+    """Copy-on-write table with snapshot isolation and optimistic
+    multi-writer concurrency.
 
     Metadata commits go through a `MetadataIO` backend (sources/io.py):
-    local atomic-rename by default, in-memory fake for tests, catalog /
-    conditional-PUT on a real object store. Single-writer: the pointer
-    publish is last-writer-wins (documented in io.py)."""
+    local atomic-rename/CAS by default, in-memory fake for tests,
+    conditional-PUT on a real object store. The commit point is a
+    compare-and-swap create of the next versioned metadata doc — of
+    two racing writers exactly one wins; the loser raises
+    CommitConflictError (or refreshes and retries when
+    merge_batch(commit_retries=...) allows), its data files left as
+    unreferenced orphans (io.py module docstring has the protocol)."""
 
     def __init__(self, spark: SparkSession, root: str, meta_io=None):
         from silk_spark.sources.io import LocalMetadataIO
@@ -145,14 +150,31 @@ class LakeTable:
         return t
 
     def _write_meta(self, meta: dict, version: int) -> None:
-        self.meta_io.write_atomic(f"v{version}.metadata.json", json.dumps(meta))
-        # publishing the hint is the atomic commit point
+        """Commit = CAS-create of the versioned metadata doc (io.py
+        protocol): of two writers that both loaded version-1, exactly
+        one creates `v<version>` — the loser raises CommitConflictError
+        and must refresh() + retry (merge_batch is batch_id-idempotent,
+        so a blind re-apply is safe). The hint file is a best-effort
+        read cache written by the winner AFTER the CAS; _load_meta
+        probes past a stale hint, so a crash in between loses nothing."""
+        from silk_spark.sources.io import CommitConflictError
+
+        if not self.meta_io.try_create(f"v{version}.metadata.json", json.dumps(meta)):
+            raise CommitConflictError(
+                f"metadata version {version} already committed by another writer "
+                f"(table {self.root}); refresh() and retry"
+            )
         self.meta_io.write_atomic("version-hint.text", str(version))
         self._meta = meta
         self._meta_version = version
 
     def _load_meta(self) -> dict:
         version = int(self.meta_io.read("version-hint.text").strip())
+        # the hint lags the CAS point if a committer crashed (or lost
+        # the race) before refreshing it: probe forward to the newest
+        # existing metadata doc — O(commits since hint), normally 0
+        while self.meta_io.exists(f"v{version + 1}.metadata.json"):
+            version += 1
         self._meta = json.loads(self.meta_io.read(f"v{version}.metadata.json"))
         self._meta_version = version
         return self._meta
@@ -281,6 +303,7 @@ class LakeTable:
         changes: DataFrame,
         batch_id: str,
         extra_summary: dict | None = None,
+        commit_retries: int = 0,
     ) -> dict:
         """Idempotent MERGE of one micro-batch.
 
@@ -334,7 +357,11 @@ class LakeTable:
         changes = changes.withColumn("_bucket", bucket_expr(keys[0], n_buckets))
 
         snap_id = (meta["current_snapshot_id"] or 0) + 1
-        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        # writer-unique dir: two racing committers computing the same
+        # snap_id must not share a data dir (the metadata CAS decides
+        # the winner AFTER the write; the loser's files become orphans,
+        # never referenced — Iceberg's failed-commit semantics)
+        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
 
         if mode == "mor":
             # ONE Spark job per micro-batch: lineage rides the write via
@@ -437,7 +464,21 @@ class LakeTable:
         meta["snapshots"] = meta["snapshots"] + [{**summary, "files": files}]
         meta["current_snapshot_id"] = snap_id
         meta["committed_batches"] = meta["committed_batches"] + [batch_id]
-        self._write_meta(meta, version=self._meta_version + 1)
+        try:
+            self._write_meta(meta, version=self._meta_version + 1)
+        except Exception as e:
+            from silk_spark.sources.io import CommitConflictError
+
+            if not isinstance(e, CommitConflictError) or commit_retries <= 0:
+                raise
+            # another writer won this version: refresh to its state and
+            # re-apply the whole batch on top (our files are orphans).
+            # The committed_batches check at the top makes the retry a
+            # no-op if the conflicting commit WAS this batch_id.
+            self.refresh()
+            return self.merge_batch(
+                changes, batch_id, extra_summary, commit_retries=commit_retries - 1
+            )
         return summary
 
     def overwrite(self, df: DataFrame, batch_id: str = "bootstrap") -> dict:
@@ -448,7 +489,7 @@ class LakeTable:
         schema = registry.current
         n_buckets = meta["n_buckets"]
         snap_id = (meta["current_snapshot_id"] or 0) + 1
-        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}")
+        snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
         out = align_to_schema(df, schema).withColumn(
             "_bucket", bucket_expr(meta["key_cols"][0], n_buckets)
         )

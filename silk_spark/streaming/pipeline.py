@@ -48,6 +48,7 @@ def create_transcripts_table(
     with_tool: bool = False,
     merge_mode: str = "cow",
     delta_layout: str = "bucketed",
+    meta_io=None,
 ) -> LakeTable:
     return LakeTable.create(
         spark,
@@ -58,6 +59,7 @@ def create_transcripts_table(
         n_buckets=n_buckets,
         merge_mode=merge_mode,
         delta_layout=delta_layout,
+        meta_io=meta_io,
     )
 
 
