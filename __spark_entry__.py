@@ -479,6 +479,33 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio twin of `media_features`, REAL bytes end-to-end: derive a
+    deterministic 16-sample mono 16-bit PCM WAV per document
+    (md5-seeded samples), nearest-neighbor downsample 16 → 8 with the
+    pure-Python RIFF codec, decode the downsampled blob and emit signal
+    statistics (mean / RMS / peak) — three chained mapInPandas stages
+    over a binary column. The DuckDB oracle recomputes the identical
+    int16 byte math from the md5 hex string."""
+    from silk_spark.operators.multimodal import (
+        audio_stats,
+        downsample_audio,
+        wav_media_from_ids,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    media = wav_media_from_ids(docs, id_col="doc_id", n_samples=16, sample_rate=8000)
+    stats = audio_stats(downsample_audio(media, 8))
+    return stats.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        F.round("mean_sample", 6).alias("mean_sample"),
+        F.round("rms", 6).alias("rms"),
+        "peak_abs",
+    )
+
+
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silk_spark.operators.text import bpe_ish_token_count, token_count
 
@@ -685,6 +712,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_probe": q_ann_ivf_probe,
         "media_features": q_media_features,
+        "audio_features": q_audio_features,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
@@ -854,6 +882,41 @@ SELECT doc_id AS media_id,
        round(list_sum(pb)::DOUBLE / len(pb), 6) AS mean_byte,
        list_min(pb) AS min_byte,
        list_max(pb) AS max_byte
+FROM d
+"""
+
+
+def _audio_oracle(n: int = 16, out_n: int = 8, rate: int = 8000) -> str:
+    """Recompute q_audio_features' WAV byte math from the md5 hex
+    string: source sample k is the little-endian signed int16 at digest
+    bytes (2k mod 16, 2k+1 mod 16); the nearest-neighbor downsample
+    keeps samples floor(j*n/out_n), so the surviving byte-pair
+    positions are FIXED constants — inlined as literal lists."""
+    lo_pos, hi_pos = [], []
+    for j in range(out_n):
+        src = (j * n) // out_n
+        lo_pos.append((2 * src) % 16)
+        hi_pos.append((2 * src + 1) % 16)
+    pairs = ", ".join(f"[{lo}, {hi}]" for lo, hi in zip(lo_pos, hi_pos))
+    out_rate = max((rate * out_n) // n, 1)
+    return f"""
+WITH m AS (
+  SELECT doc_id, md5('silk-audio:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents
+), d AS (
+  SELECT doc_id,
+         list_transform([{pairs}],
+           p -> CASE WHEN ('0x' || substr(hx, 2 * p[2] + 1, 2))::INT >= 128
+                THEN ('0x' || substr(hx, 2 * p[1] + 1, 2))::INT
+                     + 256 * ('0x' || substr(hx, 2 * p[2] + 1, 2))::INT - 65536
+                ELSE ('0x' || substr(hx, 2 * p[1] + 1, 2))::INT
+                     + 256 * ('0x' || substr(hx, 2 * p[2] + 1, 2))::INT END) AS sv
+  FROM m
+)
+SELECT doc_id AS media_id,
+       {out_rate} AS sample_rate, {out_n} AS n_samples,
+       round(list_sum(sv)::DOUBLE / len(sv), 6) AS mean_sample,
+       round(sqrt(list_sum(list_transform(sv, v -> v * v))::DOUBLE / len(sv)), 6) AS rms,
+       list_max(list_transform(sv, v -> abs(v))) AS peak_abs
 FROM d
 """
 
@@ -1048,6 +1111,7 @@ WHERE list_cosine_similarity(l.embedding::DOUBLE[], r.embedding::DOUBLE[]) >= 0.
         "ann_ivf_topk": _ANN_SQL,
         "ann_ivf_probe": _ANN_PROBE_SQL,
         "media_features": _media_oracle(),
+        "audio_features": _audio_oracle(),
         "text_token_count": """
 WITH tw AS (
   SELECT doc_id, text,

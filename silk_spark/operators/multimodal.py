@@ -319,3 +319,162 @@ def sample_frames(df: DataFrame, every_n: int = 10, max_frames: int = 4) -> Data
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+# ---------- pure-Python 16-bit PCM WAV codec (no external libs) ----------
+#
+# RIFF/WAVE, mono, 16-bit signed little-endian PCM — like BMP, the one
+# mainstream audio container decodable with stdlib `struct` alone, so
+# the audio half of the multimodal family is REAL byte work end-to-end
+# (a torchaudio/ffmpeg kernel slots into the same mapInPandas stages
+# for lossy formats on a real cluster).
+
+
+def wav_encode(sample_rate: int, samples: list[int]) -> bytes:
+    """Encode signed 16-bit samples as a mono RIFF/WAVE PCM file."""
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(body))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(body)) + body
+    )
+
+
+def wav_decode(data: bytes) -> tuple[int, list[int]]:
+    """Decode a mono 16-bit PCM WAV to (sample_rate, samples), walking
+    the RIFF chunk list (a real encoder may insert LIST/fact chunks
+    between fmt and data)."""
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, sample_rate, samples = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        size = struct.unpack_from("<I", data, pos + 4)[0]
+        if cid == b"fmt ":
+            audio_fmt, channels, sample_rate = struct.unpack_from("<HHI", data, pos + 8)
+            bits = struct.unpack_from("<H", data, pos + 8 + 14)[0]
+            if audio_fmt != 1 or channels != 1 or bits != 16:
+                raise ValueError(
+                    f"only mono 16-bit PCM supported (fmt={audio_fmt}, ch={channels}, bits={bits})"
+                )
+        elif cid == b"data":
+            n = size // 2
+            samples = list(struct.unpack_from(f"<{n}h", data, pos + 8))
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if sample_rate is None or samples is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, samples
+
+
+def wav_downsample_nearest(data: bytes, out_n: int) -> bytes:
+    """Nearest-neighbor downsample of a WAV blob to `out_n` samples
+    (source sample j = floor(j*n/out_n)), returning a WAV blob with the
+    sample rate scaled so duration is preserved."""
+    rate, samples = wav_decode(data)
+    n = len(samples)
+    out = [samples[(j * n) // out_n] for j in range(out_n)]
+    return wav_encode(max((rate * out_n) // n, 1), out)
+
+
+def wav_stats(data: bytes) -> tuple[int, int, float, float, int]:
+    """Decode + signal statistics: (sample_rate, n_samples, mean,
+    rms, peak_abs) over the signed sample values."""
+    rate, s = wav_decode(data)
+    n = len(s)
+    rms = (sum(v * v for v in s) / n) ** 0.5
+    return rate, n, sum(s) / n, rms, max(abs(v) for v in s)
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", IntegerType()),
+        StructField("mean_sample", DoubleType()),
+        StructField("rms", DoubleType()),
+        StructField("peak_abs", IntegerType()),
+    ]
+)
+
+
+def wav_media_from_ids(
+    df: DataFrame,
+    id_col: str = "media_id",
+    n_samples: int = 16,
+    sample_rate: int = 8000,
+    salt: str = "silk-audio",
+) -> DataFrame:
+    """Deterministic WAV blobs from an id column: sample k is the
+    signed int16 at bytes (2k, 2k+1) of the md5 digest of
+    '<salt>:<id>' repeated to length — the audio twin of
+    `bmp_media_from_ids`, byte math an independent oracle can
+    recompute. Runs as mapInPandas exactly like a real fetch stage."""
+    nbytes = n_samples * 2
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for mid in pdf[id_col]:
+                digest = hashlib.md5(f"{salt}:{mid}".encode()).digest()
+                reps = (nbytes + len(digest) - 1) // len(digest)
+                raw = (digest * reps)[:nbytes]
+                blobs.append(
+                    wav_encode(sample_rate, list(struct.unpack(f"<{n_samples}h", raw)))
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "data": blobs,
+                    "format": "wav",
+                    "width": pd.Series([sample_rate] * len(pdf), dtype="int32"),
+                    "height": pd.Series([n_samples] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_SCHEMA)
+
+
+def audio_stats(df: DataFrame) -> DataFrame:
+    """Decode every blob (REAL RIFF/PCM parse) and emit signal
+    statistics — the audio analyze stage, binary column read only
+    here."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            stats = [wav_stats(d) for d in pdf["data"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "sample_rate": pd.Series([s[0] for s in stats], dtype="int32"),
+                    "n_samples": pd.Series([s[1] for s in stats], dtype="int32"),
+                    "mean_sample": [s[2] for s in stats],
+                    "rms": [s[3] for s in stats],
+                    "peak_abs": pd.Series([s[4] for s in stats], dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, AUDIO_STATS_SCHEMA)
+
+
+def downsample_audio(df: DataFrame, out_n: int, kernel=None) -> DataFrame:
+    """Nearest-neighbor audio downsample over the binary column; the
+    default kernel is the pure-Python WAV codec — pass
+    `kernel(data, out_n) -> bytes` to slot in a resampling library."""
+    ds = kernel or wav_downsample_nearest
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"].astype("int64"),
+                    "data": [ds(d, out_n) for d in pdf["data"]],
+                    "format": pdf["format"],
+                    "width": pdf["width"],
+                    "height": pd.Series([out_n] * len(pdf), dtype="int32"),
+                }
+            )
+
+    return df.mapInPandas(batches, IMAGE_SCHEMA)

@@ -145,3 +145,78 @@ def test_real_decoder_slots_into_feature_stage(spark):
     rows = feats.collect()
     assert all(r.feat_dim == 8 for r in rows)
     assert all(r.feature[0] == 5.0 and r.feature[1] == 3.0 for r in rows)
+
+
+# ---------- WAV codec + audio pipeline ----------
+
+
+from silk_spark.operators.multimodal import (  # noqa: E402
+    AUDIO_STATS_SCHEMA,
+    audio_stats,
+    downsample_audio,
+    wav_decode,
+    wav_downsample_nearest,
+    wav_encode,
+    wav_media_from_ids,
+    wav_stats,
+)
+
+
+@pytest.mark.parametrize("samples", [[0], [1, -1, 32767, -32768], list(range(-50, 50, 7))])
+def test_wav_roundtrip(samples):
+    rate, got = wav_decode(wav_encode(8000, samples))
+    assert rate == 8000 and got == samples
+
+
+def test_wav_decode_skips_foreign_chunks():
+    """Real encoders insert LIST/fact chunks between fmt and data; the
+    chunk walker must skip them (including odd-size word alignment)."""
+    import struct as _s
+
+    blob = wav_encode(8000, [5, -6, 7])
+    # splice a 3-byte junk chunk (odd size -> 1 pad byte) before 'data'
+    di = blob.index(b"data")
+    junk = b"LIST" + _s.pack("<I", 3) + b"xyz" + b"\x00"
+    spliced = blob[:di] + junk + blob[di:]
+    assert wav_decode(spliced) == (8000, [5, -6, 7])
+
+
+def test_wav_downsample_picks_expected_samples():
+    samples = [100 * i - 300 for i in range(16)]
+    rate, out = wav_decode(wav_downsample_nearest(wav_encode(8000, samples), 8))
+    assert out == [samples[(j * 16) // 8] for j in range(8)]
+    assert rate == 4000  # duration preserved
+
+
+def test_wav_stats():
+    rate, n, mean, rms, peak = wav_stats(wav_encode(16000, [3, -3, 3, -3]))
+    assert (rate, n, peak) == (16000, 4, 3)
+    assert mean == pytest.approx(0.0)
+    assert rms == pytest.approx(3.0)
+
+
+def test_wav_decode_rejects_garbage():
+    with pytest.raises(ValueError):
+        wav_decode(b"OggS not a wav file at all....")
+
+
+def test_wav_media_pipeline_end_to_end(spark):
+    """ids → WAV blobs → downsample → stats, all distributed; stats
+    match the locally recomputed digest int16 math."""
+    import struct as _s
+
+    ids = spark.range(0, 10).withColumnRenamed("id", "media_id")
+    media = wav_media_from_ids(ids, n_samples=16, sample_rate=8000)
+    stats = audio_stats(downsample_audio(media, 8))
+    assert stats.schema == AUDIO_STATS_SCHEMA
+    got = {r.media_id: r for r in stats.collect()}
+    assert len(got) == 10
+    for mid in range(10):
+        digest = hashlib.md5(f"silk-audio:{mid}".encode()).digest()
+        src = list(_s.unpack("<16h", (digest * 2)[:32]))
+        kept = [src[(j * 16) // 8] for j in range(8)]
+        r = got[mid]
+        assert (r.sample_rate, r.n_samples) == (4000, 8)
+        assert r.peak_abs == max(abs(v) for v in kept)
+        assert r.mean_sample == pytest.approx(sum(kept) / 8)
+        assert r.rms == pytest.approx((sum(v * v for v in kept) / 8) ** 0.5)
