@@ -149,6 +149,60 @@ def q_cdc_batch_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level I/U/D diff between two table snapshots — the
+    `LakeTable.snapshot_diff` semantics expressed on the events log:
+    snapshot A = resolved live state of the event_id-prefix covering
+    3/5 of the log, snapshot B = resolved state of the full log;
+    full-outer join on the key, change type from presence + winner
+    drift. A newer winner event means U (same contract as the lake
+    diff: any non-key column change counts)."""
+    from silk_spark.operators.dedup import latest_by_key
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        _ev_op().alias("op"),
+        "event_id",
+        F.round("value", 2).alias("value"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    cut = ev.agg(F.floor(F.max("event_id") * 3 / 5).alias("cut"))
+    pref = ev.join(F.broadcast(cut), ev.event_id < cut.cut, "inner").drop("cut")
+
+    def live(df):
+        latest = latest_by_key(df, keys=("user_id",), order=("ts_str", "event_id"))
+        return latest.filter(F.col("op") != "D")
+
+    old = live(pref).select(
+        F.col("user_id").alias("o_uid"),
+        F.col("event_id").alias("before_event_id"),
+        F.col("value").alias("before_value"),
+    )
+    new = live(ev).select(
+        F.col("user_id").alias("n_uid"),
+        F.col("event_id").alias("after_event_id"),
+        F.col("value").alias("after_value"),
+    )
+    j = old.join(new, old.o_uid == new.n_uid, "full_outer")
+    return (
+        j.withColumn(
+            "change_type",
+            F.when(F.col("o_uid").isNull(), F.lit("I"))
+            .when(F.col("n_uid").isNull(), F.lit("D"))
+            .when(F.col("before_event_id") != F.col("after_event_id"), F.lit("U")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            F.coalesce("n_uid", "o_uid").alias("user_id"),
+            "change_type",
+            "before_event_id",
+            F.col("before_value").cast("double").alias("before_value"),
+            "after_event_id",
+            F.col("after_value").cast("double").alias("after_value"),
+        )
+    )
+
+
 def q_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silk GenerateLinks: brand-blocked self similarity-join on part
     names, levenshtein <= 2 (the reference names-benchmark rule),
@@ -692,6 +746,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "cdc_latest_by_key": q_cdc_latest_by_key,
         "cdc_apply_events": q_cdc_apply_events,
+        "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_batch_lineage": q_cdc_batch_lineage,
         "link_part_names": q_link_part_names,
         "link_best_match": q_link_best_match,
@@ -987,6 +1042,36 @@ WITH r AS (
 )
 SELECT user_id, op AS last_op, event_id AS last_event_id, round(value, 2) AS last_value
 FROM r WHERE rn = 1 AND op != 'D'
+""",
+        "cdc_snapshot_diff": f"""
+WITH cut AS (
+  SELECT CAST(floor(max(event_id) * 3.0 / 5) AS BIGINT) AS c FROM events
+), o AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, {_EV_OP_SQL} AS op, event_id, round(value, 2) AS value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events, cut WHERE event_id < cut.c
+  ) WHERE rn = 1 AND op != 'D'
+), n AS (
+  SELECT user_id, event_id, value FROM (
+    SELECT user_id, {_EV_OP_SQL} AS op, event_id, round(value, 2) AS value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events
+  ) WHERE rn = 1 AND op != 'D'
+)
+SELECT user_id, change_type, before_event_id, before_value,
+       after_event_id, after_value
+FROM (
+  SELECT coalesce(n.user_id, o.user_id) AS user_id,
+         CASE WHEN o.user_id IS NULL THEN 'I'
+              WHEN n.user_id IS NULL THEN 'D'
+              WHEN o.event_id != n.event_id THEN 'U' END AS change_type,
+         o.event_id AS before_event_id, o.value::DOUBLE AS before_value,
+         n.event_id AS after_event_id, n.value::DOUBLE AS after_value
+  FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+) WHERE change_type IS NOT NULL
 """,
         "cdc_batch_lineage": """
 SELECT CAST(floor(event_id / 1000.0) AS BIGINT) AS batch_no,

@@ -112,9 +112,18 @@ def _remaining() -> float:
     return DEADLINE - (time.monotonic() - _T0)
 
 
+def _loadavg() -> list[float]:
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except OSError:
+        return []
+
+
 BENCH_QUERIES = [
     "cdc_latest_by_key",
     "cdc_apply_events",
+    "cdc_snapshot_diff",
     "link_part_names",
     "link_best_match",
     "link_stringmap",
@@ -217,6 +226,10 @@ def merge_bench(cpus: int, n_events: int, log_dir: str, n_batches: int = 4) -> d
         "events": done_events,
         "sec": round(done_sec, 3),
         "events_per_sec": round(done_events / done_sec, 1),
+        # host 1/5/15-min load at sample time: external neighbor bursts
+        # (load 10-30 from outside the container) explain collapsed
+        # samples — the audit trail for why best-of discards them
+        "loadavg": _loadavg(),
     }
 
 
@@ -305,6 +318,7 @@ def _merge_subprocess(
             "sec": last["sec"],
             "events_per_sec": round(last["events"] / last["sec"], 1),
             "truncated": True,
+            "loadavg": _loadavg(),
         }
     return None
 
@@ -369,6 +383,7 @@ def main() -> None:
                     "best_events_per_sec": _best(t, c),
                     "samples": [s["events_per_sec"] for s in ss],
                     "truncated": [bool(s.get("truncated")) for s in ss],
+                    "loadavg": [s.get("loadavg") for s in ss],
                     "events_per_run": ss[0]["events"],
                 }
             if detail:

@@ -11,7 +11,10 @@ Subcommands:
   ingest    offset-driven micro-batch loop (resumes from checkpoint)
   stream    Structured Streaming tail (availableNow drain)
   compact   fold MOR delta files
-  show      print table state summary + lineage
+  show      print table state summary + lineage (--as-of time-travels)
+  history   commit history (snapshot summaries)
+  changes   incremental changelog read between snapshots (MOR appends)
+  diff      row-level I/U/D diff between two snapshots
 """
 
 from __future__ import annotations
@@ -57,6 +60,22 @@ def build_parser() -> argparse.ArgumentParser:
     sh = sub.add_parser("show", help="table + lineage summary")
     sh.add_argument("--table", required=True)
     sh.add_argument("--checkpoints", default=None)
+    sh.add_argument("--as-of", type=int, default=None, help="time-travel snapshot id")
+
+    hist = sub.add_parser("history", help="commit history (snapshot summaries)")
+    hist.add_argument("--table", required=True)
+
+    ch = sub.add_parser("changes", help="incremental changelog read (MOR appends)")
+    ch.add_argument("--table", required=True)
+    ch.add_argument("--from-snapshot", type=int, required=True)
+    ch.add_argument("--to-snapshot", type=int, default=None)
+    ch.add_argument("--out", required=True, help="parquet dir for the change rows")
+
+    df = sub.add_parser("diff", help="row-level diff between two snapshots")
+    df.add_argument("--table", required=True)
+    df.add_argument("--from-snapshot", type=int, required=True)
+    df.add_argument("--to-snapshot", type=int, default=None)
+    df.add_argument("--out", required=True, help="parquet dir for I/U/D rows")
     return p
 
 
@@ -114,11 +133,32 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"snapshot_id": summary["snapshot_id"]}))
         return 0
 
+    if args.cmd == "history":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.history()))
+        return 0
+
+    if args.cmd == "changes":
+        table = LakeTable(spark, args.table)
+        table.read_changes(args.from_snapshot, args.to_snapshot).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"changes_written": args.out}))
+        return 0
+
+    if args.cmd == "diff":
+        table = LakeTable(spark, args.table)
+        table.snapshot_diff(args.from_snapshot, args.to_snapshot).write.mode(
+            "overwrite"
+        ).parquet(args.out)
+        print(json.dumps({"diff_written": args.out}))
+        return 0
+
     if args.cmd == "show":
         table = LakeTable(spark, args.table)
         snap = table.current_snapshot()
         out = {
-            "rows": table.read().count(),
+            "rows": table.read(as_of_snapshot=args.as_of).count(),
             "snapshot_id": snap["snapshot_id"] if snap else None,
             "schema_id": table.schema.schema_id,
             "merge_mode": table.meta.get("merge_mode"),

@@ -206,9 +206,28 @@ class LakeTable:
 
     # ---------- read ----------
 
-    def _bucket_files(self) -> dict[str, list]:
+    def _snapshot(self, snapshot_id: int) -> dict:
+        for s in self.meta["snapshots"]:
+            if s["snapshot_id"] == snapshot_id:
+                return s
+        raise KeyError(
+            f"snapshot {snapshot_id} not found in table {self.root} "
+            f"(have {[s['snapshot_id'] for s in self.meta['snapshots']]})"
+        )
+
+    def history(self) -> list[dict]:
+        """Commit history, oldest first: every snapshot's summary
+        (operation, batch_id, row counts, schema_id) without the file
+        manifests — the audit/time-travel index."""
+        return [
+            {k: v for k, v in s.items() if k != "files"} for s in self.meta["snapshots"]
+        ]
+
+    def _bucket_files(self, as_of_snapshot: int | None = None) -> dict[str, list]:
         """Manifest entries per bucket: [path, schema_id] pairs (legacy
         plain-string entries read as schema_id=None)."""
+        if as_of_snapshot is not None:
+            return self._snapshot(as_of_snapshot)["files"]
         snap = self.current_snapshot()
         return {} if snap is None else snap["files"]
 
@@ -223,27 +242,39 @@ class LakeTable:
         buckets: list[int] | None = None,
         with_tombstones: bool = True,
         resolve: bool | None = None,
+        as_of_snapshot: int | None = None,
     ) -> DataFrame:
         """Read the table (optionally pruned to a bucket subset). Old
-        data files are aligned to the current schema (missing columns
+        data files are aligned to the read schema (missing columns
         -> NULL, widened types -> cast): the column-ID mapped read.
 
         `resolve` applies the max-by-version reduction per key — the
         merge-on-read step. Defaults to True for a MOR table (delta
         files carry multiple versions per key), False for COW (files
-        are already resolved at write time)."""
+        are already resolved at write time).
+
+        `as_of_snapshot` time-travels: read the file manifest (and the
+        schema) AS OF that committed snapshot — snapshots are immutable
+        and manifests cumulative, so this is pure metadata selection,
+        no data copies (Iceberg `VERSION AS OF` semantics)."""
         meta = self.meta
         if resolve is None:
             resolve = meta.get("merge_mode", "cow") == "mor"
-        files_by_bucket = self._bucket_files()
+        files_by_bucket = self._bucket_files(as_of_snapshot)
         if buckets is not None:
             # "*" = unpartitioned delta files: they may hold rows of ANY
             # bucket, so every bucket-subset read must include them
             wanted = {str(b) for b in buckets} | {"*"}
             files_by_bucket = {b: fs for b, fs in files_by_bucket.items() if b in wanted}
         all_files = [self._file_entry(e) for fs in files_by_bucket.values() for e in fs]
-        schema = self.schema
         registry = self.registry
+        schema = self.schema
+        if as_of_snapshot is not None:
+            snap_sid = self._snapshot(as_of_snapshot).get("schema_id")
+            if snap_sid is not None:
+                schema = next(
+                    v for v in registry.versions if v.schema_id == snap_sid
+                )
         if not all_files:
             empty_ddl = schema.ddl() + ", _bucket int"
             return self.spark.createDataFrame([], empty_ddl)
@@ -292,9 +323,124 @@ class LakeTable:
             aligned = aligned.filter((F.col("op").isNull()) | (F.col("op") != "D"))
         return aligned
 
-    def read(self) -> DataFrame:
-        """Live rows (tombstones filtered, bookkeeping columns dropped)."""
-        return self.scan(with_tombstones=False).drop("_bucket")
+    def read(self, as_of_snapshot: int | None = None) -> DataFrame:
+        """Live rows (tombstones filtered, bookkeeping columns dropped),
+        optionally time-traveled to an older committed snapshot."""
+        return self.scan(with_tombstones=False, as_of_snapshot=as_of_snapshot).drop(
+            "_bucket"
+        )
+
+    # ---------- incremental / diff reads ----------
+
+    def read_changes(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Incremental changelog read: the change rows APPENDED by the
+        MOR commits in (from_snapshot, to_snapshot] — exactly the files
+        those snapshots added, a pure manifest diff with no join and no
+        scan of pre-existing data (Iceberg incremental append scan).
+        Rows carry the original op/lineage columns, so a downstream
+        consumer can chain CDC pipelines table-to-table.
+
+        Only delta-append commits qualify: a COW merge / overwrite /
+        compact rewrites files, where added-files != changed-rows —
+        use `snapshot_diff` across those."""
+        to_snapshot = (
+            self.meta["current_snapshot_id"] if to_snapshot is None else to_snapshot
+        )
+        in_range = [
+            s
+            for s in self.meta["snapshots"]
+            if from_snapshot < s["snapshot_id"] <= to_snapshot
+        ]
+        bad = [s for s in in_range if s["operation"] != "merge-mor"]
+        if bad:
+            raise ValueError(
+                "read_changes needs every snapshot in range to be a MOR "
+                f"delta-append; found {[(s['snapshot_id'], s['operation']) for s in bad]}"
+                " — use snapshot_diff() across rewrites"
+            )
+        base = {
+            p
+            for fs in self._bucket_files(from_snapshot).values()
+            for p, _ in map(self._file_entry, fs)
+        }
+        added: dict[int | None, list[str]] = {}
+        for fs in self._bucket_files(to_snapshot).values():
+            for p, sid in map(self._file_entry, fs):
+                if p not in base:
+                    added.setdefault(sid, []).append(p)
+        registry = self.registry
+        schema = self.schema
+        if not added:
+            return self.spark.createDataFrame([], schema.ddl())
+        version_by_id = {s.schema_id: s for s in registry.versions}
+        parts = []
+        for sid, paths in sorted(added.items(), key=lambda kv: (kv[0] is None, kv[0] or 0)):
+            if sid is not None and sid in version_by_id:
+                df = self.spark.read.schema(version_by_id[sid].ddl()).parquet(*paths)
+            else:
+                df = self.spark.read.option("mergeSchema", "true").parquet(*paths)
+            parts.append(align_to_schema(df, schema))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def snapshot_diff(
+        self, from_snapshot: int, to_snapshot: int | None = None
+    ) -> DataFrame:
+        """Engine-level CDC between two committed snapshots, valid
+        across ANY operations (COW rewrites, compactions, schema
+        evolution): full-outer join of the two resolved live states on
+        the key columns, emitting one row per changed key with
+        `_change_type` I/U/D and `before`/`after` structs. Shuffles
+        both states once on the key — the scale shape of a diff."""
+        to_snapshot = (
+            self.meta["current_snapshot_id"] if to_snapshot is None else to_snapshot
+        )
+        keys = self.meta["key_cols"]
+        schema = self.schema
+        old = align_to_schema(
+            self.read(as_of_snapshot=from_snapshot), schema
+        )
+        new = align_to_schema(self.read(as_of_snapshot=to_snapshot), schema)
+        vals = [c for c in schema.names() if c not in keys]
+        o = old.select(
+            *[F.col(k).alias(f"_ok_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in schema.names()]).alias("before"),
+        )
+        n = new.select(
+            *[F.col(k).alias(f"_nk_{k}") for k in keys],
+            F.struct(*[F.col(c) for c in schema.names()]).alias("after"),
+        )
+        cond = None
+        for k in keys:
+            c = o[f"_ok_{k}"] == n[f"_nk_{k}"]
+            cond = c if cond is None else (cond & c)
+        j = o.join(n, cond, "full_outer")
+        changed = None
+        for c in vals:
+            d = ~F.col(f"before.{c}").eqNullSafe(F.col(f"after.{c}"))
+            changed = d if changed is None else (changed | d)
+        return (
+            j.withColumn(
+                "_change_type",
+                F.when(F.col("before").isNull(), F.lit("I"))
+                .when(F.col("after").isNull(), F.lit("D"))
+                .when(changed if changed is not None else F.lit(False), F.lit("U")),
+            )
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *[
+                    F.coalesce(F.col(f"_nk_{k}"), F.col(f"_ok_{k}")).alias(k)
+                    for k in keys
+                ],
+                "_change_type",
+                "before",
+                "after",
+            )
+        )
 
     # ---------- write / merge ----------
 
