@@ -15,6 +15,9 @@ Subcommands:
   history   commit history (snapshot summaries)
   changes   incremental changelog read between snapshots (MOR appends)
   diff      row-level I/U/D diff between two snapshots
+  rollback  point the table back at an earlier snapshot
+  expire    expire old snapshots + delete their exclusive data files
+  vacuum    delete orphan files (lost commit races, crashed expiries)
 """
 
 from __future__ import annotations
@@ -76,6 +79,17 @@ def build_parser() -> argparse.ArgumentParser:
     df.add_argument("--from-snapshot", type=int, required=True)
     df.add_argument("--to-snapshot", type=int, default=None)
     df.add_argument("--out", required=True, help="parquet dir for I/U/D rows")
+
+    rb = sub.add_parser("rollback", help="point the table back at a snapshot")
+    rb.add_argument("--table", required=True)
+    rb.add_argument("--to-snapshot", type=int, required=True)
+
+    ex = sub.add_parser("expire", help="expire old snapshots + their files")
+    ex.add_argument("--table", required=True)
+    ex.add_argument("--keep-last", type=int, default=1)
+
+    va = sub.add_parser("vacuum", help="delete orphan data files")
+    va.add_argument("--table", required=True)
     return p
 
 
@@ -152,6 +166,21 @@ def main(argv: list[str] | None = None) -> int:
             "overwrite"
         ).parquet(args.out)
         print(json.dumps({"diff_written": args.out}))
+        return 0
+
+    if args.cmd == "rollback":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.rollback(args.to_snapshot)))
+        return 0
+
+    if args.cmd == "expire":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.expire_snapshots(keep_last=args.keep_last)))
+        return 0
+
+    if args.cmd == "vacuum":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.remove_orphans()))
         return 0
 
     if args.cmd == "show":

@@ -330,6 +330,31 @@ class LakeTable:
             "_bucket"
         )
 
+    def lookup(self, key_value) -> DataFrame:
+        """Point lookup by the bucketing key (key_cols[0]): prune the
+        scan to the ONE bucket the key hashes into, then push the key
+        equality into the parquet scan. On a 4096-bucket 100 TB table
+        this touches 1/4096 of the files (plus any not-yet-compacted
+        unpartitioned deltas) instead of all of them — the serving-path
+        read. The bucket id comes from a one-row local expression eval
+        (same xxhash64 the writer used), not a cluster job."""
+        meta = self.meta
+        key_col = meta["key_cols"][0]
+        row = (
+            self.spark.range(1)
+            .select(
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(meta["n_buckets"]))
+                .cast("int")
+                .alias("b")
+            )
+            .first()
+        )
+        return (
+            self.scan(buckets=[int(row["b"])], with_tombstones=False)
+            .filter(F.col(key_col) == F.lit(key_value))
+            .drop("_bucket")
+        )
+
     # ---------- incremental / diff reads ----------
 
     def read_changes(
@@ -676,6 +701,141 @@ class LakeTable:
         fully consumed (terminal compaction)."""
         resolved = self.scan(with_tombstones=not drop_tombstones, resolve=True)
         return self.overwrite(resolved.drop("_bucket"), batch_id=f"compact-{uuid.uuid4().hex[:8]}")
+
+    # ---------- maintenance ----------
+
+    def rollback(self, snapshot_id: int) -> dict:
+        """Point the table back at an earlier committed snapshot
+        (Iceberg `rollback_to_snapshot`): a pure metadata commit — the
+        snapshot log is append-only, so the rolled-past snapshots stay
+        time-travelable until expired. Batches committed after the
+        rollback target are REMOVED from the idempotency ledger so the
+        CDC pipeline can legitimately re-apply them."""
+        meta = dict(self.meta)
+        target = self._snapshot(snapshot_id)  # KeyError if unknown
+        replayable = {
+            s["batch_id"]
+            for s in meta["snapshots"]
+            if s["snapshot_id"] > snapshot_id and "batch_id" in s
+        }
+        summary = {
+            "snapshot_id": (meta["current_snapshot_id"] or 0) + 1,
+            "parent_id": meta["current_snapshot_id"],
+            "operation": "rollback",
+            "rolled_back_to": snapshot_id,
+            "schema_id": target.get("schema_id"),
+        }
+        meta["snapshots"] = meta["snapshots"] + [
+            {**summary, "files": {b: list(fs) for b, fs in target["files"].items()}}
+        ]
+        meta["current_snapshot_id"] = summary["snapshot_id"]
+        meta["committed_batches"] = [
+            b for b in meta["committed_batches"] if b not in replayable
+        ]
+        self._write_meta(meta, version=self._meta_version + 1)
+        return summary
+
+    def expire_snapshots(self, keep_last: int = 1) -> dict:
+        """Expire all but the newest `keep_last` snapshots (the current
+        snapshot is always retained) and delete the data files that
+        only expired snapshots reference — Iceberg `expire_snapshots`.
+        Bounds metadata size and reclaims the COW/compact rewrite
+        history; time travel to an expired id raises thereafter.
+
+        The expiry is committed (CAS, like any snapshot commit) BEFORE
+        any file is deleted: a crash mid-delete leaves unreferenced
+        files that the next `remove_orphans()` sweep reclaims — never
+        a referenced file missing."""
+        meta = dict(self.meta)
+        snaps = meta["snapshots"]
+        keep_last = max(int(keep_last), 1)
+        retained = snaps[-keep_last:]
+        cur = meta["current_snapshot_id"]
+        if cur is not None and all(s["snapshot_id"] != cur for s in retained):
+            retained = [self._snapshot(cur)] + retained
+        expired = [s for s in snaps if s not in retained]
+        if not expired:
+            return {"expired_snapshots": [], "files_deleted": 0}
+
+        def paths(snapshot: dict) -> set:
+            return {
+                p
+                for fs in snapshot["files"].values()
+                for p, _ in map(self._file_entry, fs)
+            }
+
+        live = set().union(*(paths(s) for s in retained)) if retained else set()
+        dead = sorted(set().union(*(paths(s) for s in expired)) - live)
+
+        meta["snapshots"] = retained
+        self._write_meta(meta, version=self._meta_version + 1)
+        deleted = self._delete_data_files(dead)
+        return {
+            "expired_snapshots": [s["snapshot_id"] for s in expired],
+            "files_deleted": deleted,
+        }
+
+    def remove_orphans(self) -> dict:
+        """Delete data files not referenced by ANY retained snapshot —
+        the debris of lost CAS commit races and crashed expiries
+        (Iceberg `remove_orphan_files`). Metadata is untouched: this is
+        a pure storage sweep, safe to run any time because commit
+        protocol order (write files, THEN CAS the manifest) means an
+        unreferenced file can never become referenced later.
+
+        Listing is driver-side here (local filesystem); on an object
+        store at 10^6+ files the same set-difference runs as a Spark
+        anti-join of the listing against the manifest union."""
+        referenced = {
+            os.path.realpath(p)
+            for s in self.meta["snapshots"]
+            for fs in s["files"].values()
+            for p, _ in map(self._file_entry, fs)
+        }
+        deleted = 0
+        for entry in sorted(os.listdir(self.data_dir)):
+            top = os.path.join(self.data_dir, entry)
+            if not os.path.isdir(top):
+                continue
+            files = [
+                os.path.join(dp, f)
+                for dp, _dn, fn in os.walk(top)
+                for f in fn
+            ]
+            live = [p for p in files if os.path.realpath(p) in referenced]
+            if not live:
+                # a wholly-unreferenced snapshot dir: a lost CAS race or
+                # a fully-expired commit — remove it markers and all
+                deleted += sum(1 for p in files if p.endswith(".parquet"))
+                shutil.rmtree(top, ignore_errors=True)
+            else:
+                deleted += self._delete_data_files(
+                    [
+                        p
+                        for p in files
+                        if p.endswith(".parquet")
+                        and os.path.realpath(p) not in referenced
+                    ]
+                )
+        return {"files_deleted": deleted}
+
+    def _delete_data_files(self, paths: list) -> int:
+        deleted = 0
+        for p in paths:
+            try:
+                os.remove(p)
+                deleted += 1
+            except OSError:
+                pass
+            d = os.path.dirname(p)
+            # prune now-empty snap-*/_bucket=* dirs (ignore non-empty)
+            while d.startswith(self.data_dir) and d != self.data_dir:
+                try:
+                    os.rmdir(d)
+                except OSError:
+                    break
+                d = os.path.dirname(d)
+        return deleted
 
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
