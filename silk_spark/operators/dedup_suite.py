@@ -26,6 +26,19 @@ from pyspark.sql import functions as F
 MERSENNE_P = (1 << 31) - 1
 
 
+def _parallel(df: DataFrame) -> DataFrame:
+    """Widen a narrow scan to the session's parallelism. Small parquet
+    inputs arrive as 1-2 partitions, which would serialize the
+    shingle/signature expression work (the CPU cost center of every
+    operator here) on as many cores; one round-robin exchange up front
+    is far cheaper. A scan already at/above the default parallelism
+    (the 100 TB case) passes through untouched."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs for k min-hash permutations."""
     params = []
@@ -46,13 +59,26 @@ def normalize_text(c: Column) -> Column:
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text as array<string>."""
+    """Distinct word n-gram shingles of normalized text as array<string>.
+
+    Formulated as a fold of `zip_with` over n shifted slices of the
+    token array — NOT as `transform(sequence(1, k), i -> slice(toks,
+    i, n))`. A higher-order-function lambda body is re-evaluated per
+    ELEMENT, so referencing `toks` (split + two regex passes over the
+    full text) inside the lambda recomputes the tokenization once per
+    shingle — O(words²) regex work per document (measured ~6x the
+    whole operator's runtime). In the zip_with form the token array
+    sits in argument position (evaluated once per row) and the lambdas
+    touch only their two string elements."""
     toks = F.split(normalize_text(c), " ")
     k = F.size(toks) - (n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.array_join(F.slice(toks, i, n), " "),
-    )
+    grams = F.slice(toks, 1, F.greatest(k, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, F.greatest(k, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(
         F.array(F.array_join(toks, " "))
     )
@@ -67,6 +93,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     """Hash-groupBy exact dedup on normalized text: one survivor (min
     id) per content group. md5 keeps group ids portable across engines.
     Map-side partial agg → shuffles |groups| rows, not |docs|."""
+    df = _parallel(df)
     return (
         df.withColumn("_fp", F.md5(normalize_text(F.col(text_col))))
         .groupBy("_fp")
@@ -160,7 +187,7 @@ def ngram_jaccard_pairs(
     lossless at `threshold`, subquadratic under hot shingles); the
     exact-Jaccard verify removes all false positives, so the result
     set is identical for any sound `prefix` setting."""
-    docs = df.select(
+    docs = _parallel(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
     )
     exploded = shingle_prefix_index(docs, threshold, prefix)
@@ -183,7 +210,7 @@ def minhash_signatures(
     """(id, sig array<bigint>[num_perm]) via explode + one groupBy with
     num_perm partial-aggregating mins."""
     params = _perm_params(num_perm, seed)
-    toks = df.select(
+    toks = _parallel(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
     )
@@ -279,6 +306,7 @@ def simhash_pairs(
     Hamming distance tolerance ~3 per band miss) + exact shingle-
     Jaccard verification at `threshold` — precision exact, recall set
     by the band structure."""
+    df = _parallel(df)
     bands = simhash_bands(df, shingle_n=shingle_n, text_col=text_col, id_col=id_col)
     exploded = bands.select("id", F.explode("bands").alias("_block"))
     shingles = df.select(
@@ -300,7 +328,7 @@ def simhash60_signature(
 
     bit_b = [sum over distinct shingles of ±1 by hash-bit b] > 0;
     computed as explode + one groupBy of 60 partial-agg sums."""
-    toks = df.select(
+    toks = _parallel(df).select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
     )
@@ -399,11 +427,26 @@ def connected_components(
 
     The distributed-iteration face of Silk's transitive link handling;
     survivorship (keep min id per cluster) mirrors exact_dedup's
-    min-id winner rule."""
-    und = edges.select(
-        F.col(left_col).alias("src"), F.col(right_col).alias("dst")
-    ).union(edges.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
-    labels = nodes.select(F.col(id_col).alias("nid"), F.col(id_col).alias("label"))
+    min-id winner rule.
+
+    Two scale properties worth naming:
+      * the edge set is MATERIALIZED once (localCheckpoint) before the
+        loop — edges usually come from an expensive candidate-generation
+        plan (shingle explode + self-join + verify), and without the
+        checkpoint every round would re-execute that whole plan;
+      * propagation runs only over nodes incident to an edge (at most
+        2|edges| of them). Isolated nodes — the overwhelming majority
+        in a near-dup graph — are their own cluster by definition and
+        are stitched back with one left join at the end, so each round
+        shuffles O(|edges|), not O(|corpus|)."""
+    und = (
+        edges.select(F.col(left_col).alias("src"), F.col(right_col).alias("dst"))
+        .union(edges.select(F.col(right_col).alias("src"), F.col(left_col).alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        und.select(F.col("src").alias("nid")).distinct().withColumn("label", F.col("nid"))
+    )
     for _ in range(max_iter):
         neigh = (
             und.join(labels, und["dst"] == labels["nid"])
@@ -427,7 +470,15 @@ def connected_components(
             f"connected_components did not converge within max_iter={max_iter} "
             "rounds — raise the cap (component diameter exceeds it)"
         )
-    return labels.select(F.col("nid").alias(id_col), F.col("label").alias("cluster_id"))
+    # stitch isolated nodes (no incident edge) back as singleton clusters
+    all_nodes = nodes.select(F.col(id_col).alias("_n"))
+    return (
+        all_nodes.join(labels, all_nodes["_n"] == labels["nid"], "left")
+        .select(
+            F.col("_n").alias(id_col),
+            F.coalesce(F.col("label"), F.col("_n")).alias("cluster_id"),
+        )
+    )
 
 
 def near_dup_clusters(
@@ -507,7 +558,7 @@ def embedding_near_dup_pairs(
     regimes (cosine >= ~0.9). Pass `dim` (known from the schema
     registry) to keep plan construction action-free; it falls back to
     a one-row peek only when omitted."""
-    base = df.select(
+    base = _parallel(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v"), vec_norm(F.col(vec_col)).alias("n")
     )
     if n_planes <= 0:

@@ -177,11 +177,17 @@ def stringmap_candidate_pairs(
     filter), then keep pairs with Euclidean mapped distance below the
     learned threshold. Output columns left_*/right_* + mapped_dist;
     feed to an exact verify (e.g. levenshtein <= dist_threshold)."""
+    # fit on DISTINCT values: real key columns are often low-cardinality
+    # relative to row count, and a multiset sample can collapse to many
+    # copies of one value — then every pivot pair coincides, dab == 0
+    # for all dims, every row maps to the origin, and the "grid-blocked"
+    # join silently degenerates to a full cross product
     sample = [
         r["v"]
         for r in left.select(F.col(left_key).alias("v"))
         .unionByName(right.select(F.col(right_key).alias("v")))
         .filter(F.col("v").isNotNull())
+        .distinct()
         .orderBy(F.xxhash64("v", F.lit(seed)))  # deterministic shuffle
         .limit(sample_size)
         .collect()
@@ -202,7 +208,14 @@ def stringmap_candidate_pairs(
     coord = fastmap_coordinates(model)
     w = model.mapped_threshold
 
+    min_parts = left.sparkSession.sparkContext.defaultParallelism
+
     def mapped(df: DataFrame, key: str, side: str) -> DataFrame:
+        # the coordinate UDF is the per-row Python cost center (dim x 2
+        # Levenshtein per string); a small parquet scan arrives as 1-2
+        # partitions, which would serialize it on one core
+        if df.rdd.getNumPartitions() < min_parts:
+            df = df.repartition(min_parts)
         cols = [F.col(c).alias(f"{side}_{c}") for c in df.columns]
         return df.select(*cols, coord(F.col(key)).alias(f"{side}_mc"))
 
