@@ -109,11 +109,21 @@ def rolling_shingle_fingerprints(c: Column, shingle_n: int = 5, keep: int = 4) -
     Two documents sharing any sketch element are near-dup candidates."""
     toks = _tokens(c)
     k = F.size(toks) - (shingle_n - 1)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(k, F.lit(1))),
-        lambda i: F.md5(F.array_join(F.slice(toks, i, shingle_n), " ")),
+    # zip_with fold over shifted slices, not transform(sequence, i ->
+    # slice(toks, i, n)): a HOF lambda body re-evaluates per element,
+    # so referencing the tokenization inside it would redo the
+    # regex+split once per shingle (see dedup_suite.word_shingles)
+    grams = F.slice(toks, 1, F.greatest(k, F.lit(1)))
+    for j in range(1, shingle_n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, F.greatest(k, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    hashed = F.when(F.size(toks) >= 1, F.transform(grams, lambda g: F.md5(g))).otherwise(
+        F.array(F.md5(F.lit("")))  # empty doc: one empty-string shingle, as before
     )
-    return F.slice(F.array_sort(F.array_distinct(grams)), 1, keep)
+    return F.slice(F.array_sort(F.array_distinct(hashed)), 1, keep)
 
 
 def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
