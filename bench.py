@@ -120,6 +120,25 @@ def _loadavg() -> list[float]:
         return []
 
 
+def _wait_for_quiet(max_wait: float, threshold: float = 3.0) -> float:
+    """Hold a measurement stage while an EXTERNAL load burst is on the
+    host (observed pattern: co-tenant bursts of 1-10 min that collapse
+    a 32-core pinned sample 10-15x; between bursts the host is near
+    idle). Nothing of ours runs between stages, so 1-min loadavg >
+    threshold means foreign load. Bounded by `max_wait` (never risk
+    the deadline for a quieter sample — a poisoned sample is shed by
+    best-of anyway); returns seconds waited."""
+    waited = 0.0
+    while waited < max_wait:
+        la = _loadavg()
+        if not la or la[0] <= threshold:
+            break
+        step = min(20.0, max_wait - waited)
+        time.sleep(step)
+        waited += step
+    return waited
+
+
 BENCH_QUERIES = [
     "cdc_latest_by_key",
     "cdc_apply_events",
@@ -421,6 +440,12 @@ def main() -> None:
     def run_merge(
         c: int, log_dir: str, n_events: int, stage: str, budget: float, n_batches: int = 4
     ) -> dict | None:
+        # never start a pinned measurement into a foreign load burst:
+        # wait (bounded by a slice of remaining budget) for quiet
+        waited = _wait_for_quiet(max_wait=min(0.25 * max(_remaining() - reserve, 0.0), 240.0))
+        if waited:
+            stages_done.append(f"waited_quiet_{stage}:{int(waited)}s")
+            budget = max(min(budget, _remaining() - reserve), 60.0)
         res = _merge_subprocess(c, log_dir, n_events, timeout=budget, n_batches=n_batches)
         if res is None:
             shed.append(stage + ":timeout")
