@@ -203,6 +203,49 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_reconcile_turns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The north-star join-and-score reconciliation stage, end to end:
+    a transcript-shaped batch (conv_id, turn_idx, lsn, text, ts) is
+    derived deterministically from the events log, near-duplicate
+    turns (turn off by one, levenshtein <= 2 — retries / editor
+    resends) are canonicalized onto the earlier turn via the blocked
+    candidate join + top-1 window of reconcile_near_dups, and the
+    max-by-(ts, lsn) dedup then resolves each reconciled key to one
+    winner — exactly what CdcPipeline runs before every MERGE.
+
+    Reference: GenerateLinks.scala:63-132 (candidate generation),
+    Matcher.scala:254-291 (pair scoring), Filter.scala:33-50 (best
+    link per record). Scale: candidates are blocked on
+    (conv_id, turn-bucket) with a one-bucket probe — a hot
+    conversation costs O(records-per-bucket), never O(m^2) — and the
+    remap join is AQE-sized (broadcast iff the mapping is small)."""
+    from silk_spark.operators.dedup import latest_by_key
+    from silk_spark.operators.reconcile import reconcile_near_dups
+
+    ev = _t(spark, sf_dir, "events")
+    batch = ev.select(
+        F.concat(F.lit("c"), (F.col("user_id") % 300).cast("string")).alias("conv_id"),
+        (F.col("event_id") % 50).cast("int").alias("turn_idx"),
+        F.col("event_id").alias("lsn"),
+        F.concat(
+            F.col("event_type"), F.lit(":"), (F.col("event_id") % 7).cast("string")
+        ).alias("text"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+    )
+    rc = reconcile_near_dups(
+        batch,
+        text_threshold=2.0,
+        turn_window=1,
+        keys=("conv_id", "turn_idx"),
+        text_col="text",
+        version_cols=("ts_str", "lsn"),
+    )
+    final = latest_by_key(rc, keys=("conv_id", "turn_idx"), order=("ts_str", "lsn"))
+    return final.select(
+        "conv_id", "turn_idx", F.col("lsn").alias("winner_lsn"), "text"
+    )
+
+
 def q_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Silk GenerateLinks: brand-blocked self similarity-join on part
     names, levenshtein <= 2 (the reference names-benchmark rule),
@@ -748,6 +791,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_apply_events": q_cdc_apply_events,
         "cdc_snapshot_diff": q_cdc_snapshot_diff,
         "cdc_batch_lineage": q_cdc_batch_lineage,
+        "reconcile_turns": q_reconcile_turns,
         "link_part_names": q_link_part_names,
         "link_best_match": q_link_best_match,
         "link_qgram_blocked": q_link_qgram_blocked,
@@ -1081,6 +1125,41 @@ SELECT CAST(floor(event_id / 1000.0) AS BIGINT) AS batch_no,
        min(event_id) AS start_offset,
        max(event_id) AS end_offset
 FROM events GROUP BY 1 ORDER BY 1
+""",
+        "reconcile_turns": """
+WITH rec AS (
+  SELECT 'c' || CAST(user_id % 300 AS VARCHAR) AS conv_id,
+         CAST(event_id % 50 AS INT) AS turn_idx,
+         event_id AS lsn,
+         event_type || ':' || CAST(event_id % 7 AS VARCHAR) AS text,
+         strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str
+  FROM events
+), pairs AS (
+  SELECT l.conv_id, r.turn_idx AS r_turn, r.lsn AS r_lsn,
+         l.turn_idx AS l_turn, levenshtein(l.text, r.text) AS lev
+  FROM rec l JOIN rec r
+    ON l.conv_id = r.conv_id
+   AND r.turn_idx > l.turn_idx AND r.turn_idx <= l.turn_idx + 1
+  WHERE levenshtein(l.text, r.text) <= 2
+), mapping AS (
+  SELECT * FROM (
+    SELECT conv_id, r_turn, r_lsn, l_turn,
+           row_number() OVER (PARTITION BY conv_id, r_turn, r_lsn
+                              ORDER BY lev ASC, l_turn ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+), remapped AS (
+  SELECT rec.conv_id,
+         COALESCE(m.l_turn, rec.turn_idx) AS turn_idx,
+         rec.lsn, rec.text, rec.ts_str
+  FROM rec LEFT JOIN mapping m
+    ON m.conv_id = rec.conv_id AND m.r_turn = rec.turn_idx AND m.r_lsn = rec.lsn
+)
+SELECT conv_id, turn_idx, lsn AS winner_lsn, text FROM (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts_str DESC, lsn DESC) AS rn
+  FROM remapped
+) WHERE rn = 1
 """,
         "link_part_names": """
 SELECT l.p_partkey AS left_key, r.p_partkey AS right_key,
