@@ -84,6 +84,10 @@ def build_parser() -> argparse.ArgumentParser:
     rb.add_argument("--table", required=True)
     rb.add_argument("--to-snapshot", type=int, required=True)
 
+    rs = sub.add_parser("rescale", help="partition evolution: rewrite into a new bucket count")
+    rs.add_argument("--table", required=True)
+    rs.add_argument("--buckets", type=int, required=True)
+
     ex = sub.add_parser("expire", help="expire old snapshots + their files")
     ex.add_argument("--table", required=True)
     ex.add_argument("--keep-last", type=int, default=1)
@@ -171,6 +175,11 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "rollback":
         table = LakeTable(spark, args.table)
         print(json.dumps(table.rollback(args.to_snapshot)))
+        return 0
+
+    if args.cmd == "rescale":
+        table = LakeTable(spark, args.table)
+        print(json.dumps(table.rescale_buckets(args.buckets)))
         return 0
 
     if args.cmd == "expire":

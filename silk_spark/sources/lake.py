@@ -305,8 +305,18 @@ class LakeTable:
         df = parts[0]
         for p in parts[1:]:
             df = df.unionByName(p)
+        # bucket by the layout the snapshot being read was WRITTEN
+        # under (snapshots record n_buckets; rescale_buckets changes it
+        # going forward) — time travel across a rescale must interpret
+        # the old manifest's bucket keys with the old bucket function
+        snap_rec = (
+            self._snapshot(as_of_snapshot)
+            if as_of_snapshot is not None
+            else self.current_snapshot()
+        ) or {}
+        eff_n_buckets = snap_rec.get("n_buckets", meta["n_buckets"])
         aligned = df.withColumn(
-            "_bucket", bucket_expr(meta["key_cols"][0], meta["n_buckets"])
+            "_bucket", bucket_expr(meta["key_cols"][0], eff_n_buckets)
         )
         if buckets is not None:
             # unpartitioned ("*") delta files carry rows of EVERY bucket;
@@ -627,6 +637,7 @@ class LakeTable:
             "rows_deleted": rows_deleted,
             "buckets_rewritten": len(changed_buckets),
             "partition_stats": partition_stats,
+            "n_buckets": n_buckets,
         }
         if extra_summary:
             summary.update(extra_summary)
@@ -654,11 +665,53 @@ class LakeTable:
 
     def overwrite(self, df: DataFrame, batch_id: str = "bootstrap") -> dict:
         """Full-table rewrite (bootstrap load)."""
+        return self._rewrite(df, batch_id, "overwrite", self.meta["n_buckets"])
+
+    def rescale_buckets(self, new_n_buckets: int) -> dict:
+        """Partition evolution (Iceberg partition-spec evolution applied
+        to the bucket transform): rewrite the table's resolved state —
+        tombstones kept, same rationale as compact() — into
+        `new_n_buckets` hash buckets, switching the layout in the SAME
+        metadata commit so the manifest keys and the bucket function can
+        never disagree. The growth operation for a 100 TB table: when
+        per-bucket data outruns the executor-memory / target-file-size
+        envelope, widen 64 -> 256 -> 4096 without touching the pipeline
+        (merge_batch reads n_buckets from live metadata, so subsequent
+        batches shuffle into the new layout automatically, and the
+        idempotency ledger is untouched — replayed batches still skip).
+        Time travel stays sound: every snapshot records the layout it
+        was written under and scan() buckets by THAT, not by the
+        current one. MOR unpartitioned deltas ("*") are folded into
+        real buckets as a side effect (same as compact).
+
+        Reference analogue: silk-core partitioning is fixed per run
+        (workspace/activity config); growing it is exactly what the
+        north rule's explicit-partitioning requirement adds."""
+        new_n = int(new_n_buckets)
+        if new_n < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {new_n}")
+        if new_n == self.meta["n_buckets"]:
+            return {
+                "operation": "rescale",
+                "noop": True,
+                "n_buckets": new_n,
+                "snapshot_id": self.meta["current_snapshot_id"],
+            }
+        resolved = self.scan(with_tombstones=True).drop("_bucket")
+        return self._rewrite(
+            resolved, f"rescale-{uuid.uuid4().hex[:8]}", "rescale", new_n
+        )
+
+    def _rewrite(
+        self, df: DataFrame, batch_id: str, operation: str, n_buckets: int
+    ) -> dict:
+        """Write `df` as a complete new bucketed file set and commit it
+        as the current snapshot (shared by overwrite/compact/rescale).
+        `n_buckets` becomes the table layout in the same commit."""
         meta = dict(self.meta)
         registry = SchemaRegistry.from_dict(meta["registry"])
         registry.evolve([(f.name, f.dataType.simpleString()) for f in df.schema.fields])
         schema = registry.current
-        n_buckets = meta["n_buckets"]
         snap_id = (meta["current_snapshot_id"] or 0) + 1
         snap_dir = os.path.join(self.data_dir, f"snap-{snap_id}-{uuid.uuid4().hex[:8]}")
         out = align_to_schema(df, schema).withColumn(
@@ -681,10 +734,12 @@ class LakeTable:
             "snapshot_id": snap_id,
             "parent_id": meta["current_snapshot_id"],
             "batch_id": batch_id,
-            "operation": "overwrite",
+            "operation": operation,
             "schema_id": schema.schema_id,
+            "n_buckets": n_buckets,
         }
         meta["registry"] = registry.to_dict()
+        meta["n_buckets"] = n_buckets
         meta["snapshots"] = meta["snapshots"] + [{**summary, "files": files}]
         meta["current_snapshot_id"] = snap_id
         meta["committed_batches"] = meta["committed_batches"] + [batch_id]
@@ -724,10 +779,14 @@ class LakeTable:
             "operation": "rollback",
             "rolled_back_to": snapshot_id,
             "schema_id": target.get("schema_id"),
+            # a rollback across a rescale restores the target's layout:
+            # the manifest's bucket keys and meta.n_buckets must agree
+            "n_buckets": target.get("n_buckets", meta["n_buckets"]),
         }
         meta["snapshots"] = meta["snapshots"] + [
             {**summary, "files": {b: list(fs) for b, fs in target["files"].items()}}
         ]
+        meta["n_buckets"] = summary["n_buckets"]
         meta["current_snapshot_id"] = summary["snapshot_id"]
         meta["committed_batches"] = [
             b for b in meta["committed_batches"] if b not in replayable
