@@ -262,10 +262,13 @@ def q_link_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silk_spark.functions.measures import distance_to_confidence
 
     return (
+        # 3-arg levenshtein: banded DP with early exit — far pairs (the
+        # overwhelming majority of candidates) cost O(n·k), not O(n^2),
+        # and return -1 instead of their distance
         pairs.withColumn(
-            "lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name"))
+            "lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name"), 2)
         )
-        .filter(F.col("lev") <= 2)
+        .filter(F.col("lev") >= 0)
         .select(
             F.col("left_p_partkey").alias("left_key"),
             F.col("right_p_partkey").alias("right_key"),
@@ -299,8 +302,8 @@ def q_link_qgram_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
         part, None, qgram_blocks(F.col("p_name"), q=2, max_grams=6), self_key="p_partkey"
     )
     return (
-        pairs.withColumn("lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name")))
-        .filter(F.col("lev") <= 1)
+        pairs.withColumn("lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name"), 1))
+        .filter(F.col("lev") >= 0)
         .select(
             F.col("left_p_partkey").alias("left_key"),
             F.col("right_p_partkey").alias("right_key"),
@@ -326,8 +329,8 @@ def q_link_stringmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         cand.filter(F.col("left_p_partkey") < F.col("right_p_partkey"))
-        .withColumn("lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name")))
-        .filter(F.col("lev") <= 2)
+        .withColumn("lev", F.levenshtein(F.col("left_p_name"), F.col("right_p_name"), 2))
+        .filter(F.col("lev") >= 0)
         .select(
             F.col("left_p_partkey").alias("left_key"),
             F.col("right_p_partkey").alias("right_key"),

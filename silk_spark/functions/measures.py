@@ -471,11 +471,13 @@ def soft_jaccard(a: Column, b: Column, max_distance: int = 1) -> Column:
     tokens match if edit distance <= max_distance. Higher-order
     functions only — the token-pair cross product stays JVM-side."""
     da, db = F.array_distinct(a), F.array_distinct(b)
+    # 3-arg levenshtein: banded DP with early exit for the (common)
+    # far token pairs; returns -1 when the distance exceeds the bound
     matched_a = F.size(
-        F.filter(da, lambda x: F.exists(db, lambda y: F.levenshtein(x, y) <= max_distance))
+        F.filter(da, lambda x: F.exists(db, lambda y: F.levenshtein(x, y, max_distance) >= 0))
     )
     matched_b = F.size(
-        F.filter(db, lambda y: F.exists(da, lambda x: F.levenshtein(x, y) <= max_distance))
+        F.filter(db, lambda y: F.exists(da, lambda x: F.levenshtein(x, y, max_distance) >= 0))
     )
     # soft union = |A| + |B| - min(matchedA, matchedB); soft intersect = max(...)
     inter = F.greatest(matched_a, matched_b).cast("double")

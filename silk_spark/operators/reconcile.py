@@ -91,9 +91,12 @@ def near_dup_mapping(
         F.col(text_col).alias("text"),
     ).filter(F.col("text").isNotNull())
     pairs = window_candidates(rec, turn_window)
+    # 3-arg levenshtein (banded DP, early exit) — candidate pairs that
+    # are far apart cost O(n·k) instead of O(n^2) and return -1
     scored = pairs.withColumn(
-        "lev", F.levenshtein(F.col("left_text"), F.col("right_text"))
-    ).filter(F.col("lev") <= text_threshold)
+        "lev",
+        F.levenshtein(F.col("left_text"), F.col("right_text"), int(text_threshold)),
+    ).filter(F.col("lev") >= 0)
     # best canonical target per duplicate record: closest text, then
     # smallest turn (deterministic)
     w = Window.partitionBy("c", "right_turn", "right_lsn").orderBy(
