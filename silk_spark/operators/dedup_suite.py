@@ -282,29 +282,33 @@ def simhash_bands(
     as bit-bands (never one packed 64-bit int: band equality is the
     LSH join key AND packing would overflow under ANSI mode).
 
-    bit_b = sign(sum over tokens of ±1 by token-hash bit b); computed
-    with explode + one groupBy of `bits` partial-agg sums."""
-    toks = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
+    bit_b = sign(sum over tokens of ±1 by token-hash bit b) =
+    [2 * count(bit set) > count], computed per bit with size(filter())
+    over the per-doc hash array — ONE narrow projection, zero shuffle
+    (the explode + bits-sum groupBy exchanged |docs|x|shingles| rows
+    for identical bits; same rewrite as minhash_signatures)."""
+    hs = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    base = (
+        df.select(F.col(id_col).alias("id"), hs.alias("_hs"))
+        .filter(F.col("_hs").isNotNull())
     )
-    h = F.xxhash64(F.col("tok"))
-    aggs = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(bits)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
+    n = F.size("_hs")
+
+    def bit(b: int) -> F.Column:
+        cnt = F.size(
+            F.filter(F.col("_hs"), lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        return F.when(cnt * 2 > n, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+
     n_bands = bits // band_bits
     bands = []
     for j in range(n_bands):
         packed = None
         for k in range(band_bits):
-            b = j * band_bits + k
-            bit = F.when(F.col(f"b{b}") > 0, F.lit(1).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-            term = bit * F.lit(1 << k).cast("bigint")
+            term = bit(j * band_bits + k) * F.lit(1 << k).cast("bigint")
             packed = term if packed is None else packed + term
         bands.append(packed)
-    return sums.select("id", F.array(*[F.xxhash64(F.lit(j), b) for j, b in enumerate(bands)]).alias("bands"))
+    return base.select("id", F.array(*[F.xxhash64(F.lit(j), b) for j, b in enumerate(bands)]).alias("bands"))
 
 
 def simhash_pairs(
@@ -338,25 +342,31 @@ def simhash60_signature(
     hex-parse exist in Spark and DuckDB alike; verified bit-identical).
     60 bits packs into one bigint without ANSI overflow (< 2^60).
 
-    bit_b = [sum over distinct shingles of ±1 by hash-bit b] > 0;
-    computed as explode + one groupBy of 60 partial-agg sums."""
-    toks = _parallel(df).select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("tok"),
+    bit_b = [sum over distinct shingles of ±1 by hash-bit b] > 0,
+    i.e. [2 * count(bit set) > count], computed per bit with
+    size(filter()) over the per-doc hash array — one narrow
+    projection, zero shuffle (same rewrite as minhash_signatures;
+    bit-identical to the explode + 60-sum groupBy it replaces)."""
+    hs = F.transform(
+        word_shingles(F.col(text_col), shingle_n),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
     )
-    h = F.conv(F.substring(F.md5(F.col("tok")), 1, 15), 16, 10).cast("bigint")
-    aggs = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{b}")
-        for b in range(60)
-    ]
-    sums = toks.groupBy("id").agg(*aggs)
+    base = (
+        _parallel(df)
+        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
+        .filter(F.col("_hs").isNotNull())
+    )
+    n = F.size("_hs")
     sig = None
     for b in range(60):
-        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b).cast("bigint")).otherwise(
+        cnt = F.size(
+            F.filter(F.col("_hs"), lambda x: F.shiftright(x, b).bitwiseAND(F.lit(1)) == 1)
+        )
+        term = F.when(cnt * 2 > n, F.lit(1 << b).cast("bigint")).otherwise(
             F.lit(0).cast("bigint")
         )
         sig = term if sig is None else sig + term
-    return sums.select("id", sig.alias("sig"))
+    return base.select("id", sig.alias("sig"))
 
 
 def simhash_hamming_pairs(
