@@ -717,9 +717,19 @@ class LakeTable:
         out = align_to_schema(df, schema).withColumn(
             "_bucket", bucket_expr(meta["key_cols"][0], n_buckets)
         )
-        out.repartition(n_buckets, "_bucket").write.mode("overwrite").partitionBy(
-            "_bucket"
-        ).parquet(snap_dir)
+        # cluster each bucket's file by key: parquet min/max column
+        # stats then let point lookups and key-range scans skip row
+        # groups inside a bucket (Iceberg sort-order analogue). Only
+        # maintenance rewrites pay the sort — the hot MOR append path
+        # stays exchange-free.
+        sort_cols = ["_bucket"] + [c for c in meta["key_cols"] if c in out.columns]
+        (
+            out.repartition(n_buckets, "_bucket")
+            .sortWithinPartitions(*sort_cols)
+            .write.mode("overwrite")
+            .partitionBy("_bucket")
+            .parquet(snap_dir)
+        )
         files = {}
         for entry in sorted(os.listdir(snap_dir)):
             if entry.startswith("_bucket="):
