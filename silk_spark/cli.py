@@ -88,6 +88,12 @@ def build_parser() -> argparse.ArgumentParser:
     rs.add_argument("--table", required=True)
     rs.add_argument("--buckets", type=int, required=True)
 
+    tg = sub.add_parser("tag", help="name a snapshot (durable ref; expiry retains it)")
+    tg.add_argument("--table", required=True)
+    tg.add_argument("--name", required=True)
+    tg.add_argument("--snapshot", type=int, default=None, help="default: current")
+    tg.add_argument("--delete", action="store_true")
+
     ex = sub.add_parser("expire", help="expire old snapshots + their files")
     ex.add_argument("--table", required=True)
     ex.add_argument("--keep-last", type=int, default=1)
@@ -180,6 +186,14 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "rescale":
         table = LakeTable(spark, args.table)
         print(json.dumps(table.rescale_buckets(args.buckets)))
+        return 0
+
+    if args.cmd == "tag":
+        table = LakeTable(spark, args.table)
+        if args.delete:
+            print(json.dumps(table.delete_tag(args.name)))
+        else:
+            print(json.dumps(table.tag(args.name, args.snapshot)))
         return 0
 
     if args.cmd == "expire":

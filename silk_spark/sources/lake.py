@@ -215,6 +215,49 @@ class LakeTable:
             f"(have {[s['snapshot_id'] for s in self.meta['snapshots']]})"
         )
 
+    def resolve_ref(self, ref: "int | str | None") -> int | None:
+        """Resolve a snapshot reference: an int id passes through, a
+        string resolves via the tag map (Iceberg tag semantics)."""
+        if ref is None or isinstance(ref, int):
+            return ref
+        tags = self.meta.get("tags", {})
+        if ref not in tags:
+            raise KeyError(
+                f"tag {ref!r} not found in table {self.root} (have {sorted(tags)})"
+            )
+        return tags[ref]
+
+    def tag(self, name: str, snapshot_id: int | None = None) -> dict:
+        """Name a committed snapshot (Iceberg tag): a durable ref the
+        expiry NEVER deletes from under you — tagged snapshots (and
+        their files) are retained by expire_snapshots until the tag is
+        dropped. The audit anchor for a CDC table: tag the snapshot a
+        replay/backfill was validated against, expire freely, and
+        `read(as_of_snapshot="name")` keeps working."""
+        meta = dict(self.meta)
+        sid = snapshot_id if snapshot_id is not None else meta["current_snapshot_id"]
+        if sid is None:
+            raise ValueError("cannot tag an empty table (no committed snapshot)")
+        self._snapshot(sid)  # KeyError if unknown
+        tags = dict(meta.get("tags", {}))
+        tags[name] = sid
+        meta["tags"] = tags
+        self._write_meta(meta, version=self._meta_version + 1)
+        return {"tag": name, "snapshot_id": sid}
+
+    def delete_tag(self, name: str) -> dict:
+        meta = dict(self.meta)
+        tags = dict(meta.get("tags", {}))
+        if name not in tags:
+            raise KeyError(f"tag {name!r} not found (have {sorted(tags)})")
+        sid = tags.pop(name)
+        meta["tags"] = tags
+        self._write_meta(meta, version=self._meta_version + 1)
+        return {"deleted_tag": name, "snapshot_id": sid}
+
+    def tags(self) -> dict:
+        return dict(self.meta.get("tags", {}))
+
     def history(self) -> list[dict]:
         """Commit history, oldest first: every snapshot's summary
         (operation, batch_id, row counts, schema_id) without the file
@@ -256,7 +299,9 @@ class LakeTable:
         `as_of_snapshot` time-travels: read the file manifest (and the
         schema) AS OF that committed snapshot — snapshots are immutable
         and manifests cumulative, so this is pure metadata selection,
-        no data copies (Iceberg `VERSION AS OF` semantics)."""
+        no data copies (Iceberg `VERSION AS OF` semantics). A string
+        `as_of_snapshot` resolves through the tag map."""
+        as_of_snapshot = self.resolve_ref(as_of_snapshot)
         meta = self.meta
         if resolve is None:
             resolve = meta.get("merge_mode", "cow") == "mor"
@@ -379,7 +424,9 @@ class LakeTable:
 
         Only delta-append commits qualify: a COW merge / overwrite /
         compact rewrites files, where added-files != changed-rows —
-        use `snapshot_diff` across those."""
+        use `snapshot_diff` across those. Tag names resolve."""
+        from_snapshot = self.resolve_ref(from_snapshot)
+        to_snapshot = self.resolve_ref(to_snapshot)
         to_snapshot = (
             self.meta["current_snapshot_id"] if to_snapshot is None else to_snapshot
         )
@@ -430,7 +477,10 @@ class LakeTable:
         evolution): full-outer join of the two resolved live states on
         the key columns, emitting one row per changed key with
         `_change_type` I/U/D and `before`/`after` structs. Shuffles
-        both states once on the key — the scale shape of a diff."""
+        both states once on the key — the scale shape of a diff. Tag
+        names resolve."""
+        from_snapshot = self.resolve_ref(from_snapshot)
+        to_snapshot = self.resolve_ref(to_snapshot)
         to_snapshot = (
             self.meta["current_snapshot_id"] if to_snapshot is None else to_snapshot
         )
@@ -818,11 +868,15 @@ class LakeTable:
         meta = dict(self.meta)
         snaps = meta["snapshots"]
         keep_last = max(int(keep_last), 1)
-        retained = snaps[-keep_last:]
-        cur = meta["current_snapshot_id"]
-        if cur is not None and all(s["snapshot_id"] != cur for s in retained):
-            retained = [self._snapshot(cur)] + retained
-        expired = [s for s in snaps if s not in retained]
+        # retain: the newest keep_last, the current snapshot, and every
+        # TAGGED snapshot (tags are durable refs — expiry must never
+        # delete a snapshot a tag still points at)
+        retain_ids = {s["snapshot_id"] for s in snaps[-keep_last:]}
+        if meta["current_snapshot_id"] is not None:
+            retain_ids.add(meta["current_snapshot_id"])
+        retain_ids |= set(meta.get("tags", {}).values())
+        retained = [s for s in snaps if s["snapshot_id"] in retain_ids]
+        expired = [s for s in snaps if s["snapshot_id"] not in retain_ids]
         if not expired:
             return {"expired_snapshots": [], "files_deleted": 0}
 
