@@ -244,6 +244,7 @@ BENCH_QUERIES = [
     "cdc_latest_by_key",
     "cdc_apply_events",
     "cdc_snapshot_diff",
+    "reconcile_turns",
     "link_part_names",
     "link_best_match",
     "link_stringmap",
@@ -251,6 +252,7 @@ BENCH_QUERIES = [
     "agg_revenue_by_nation",
     "window_top_orders",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_clusters",
