@@ -186,10 +186,17 @@ def ngram_jaccard_pairs(
     prefix-filtered by default (see shingle_prefix_index — provably
     lossless at `threshold`, subquadratic under hot shingles); the
     exact-Jaccard verify removes all false positives, so the result
-    set is identical for any sound `prefix` setting."""
+    set is identical for any sound `prefix` setting.
+
+    The (id, shingles) frame is persisted (MEMORY_AND_DISK, Spark LRU
+    evicts under pressure): four subplans reference it — index l/r and
+    verify l/r — and recomputing the tokenization (two regex passes +
+    split per doc) each time measured ~2x the whole operator at
+    sf0.1. Multi-pass reuse of the tokenized corpus is the standard
+    trade; pass-through scans stay lazy everywhere else."""
     docs = _parallel(df).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     exploded = shingle_prefix_index(docs, threshold, prefix)
     return _verified_pairs(exploded, docs, threshold)
 
@@ -259,9 +266,11 @@ def minhash_lsh_pairs(
         *[F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * r + 1, r)) for j in range(bands)]
     )
     exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
+    # persisted: the verify joins reference this frame twice (see
+    # ngram_jaccard_pairs for the measured rationale)
     shingles = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -325,9 +334,11 @@ def simhash_pairs(
     df = _parallel(df)
     bands = simhash_bands(df, shingle_n=shingle_n, text_col=text_col, id_col=id_col)
     exploded = bands.select("id", F.explode("bands").alias("_block"))
+    # persisted: the verify joins reference this frame twice (see
+    # ngram_jaccard_pairs for the measured rationale)
     shingles = df.select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).persist()
     return _verified_pairs(exploded, shingles, threshold)
 
 
