@@ -100,6 +100,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     va = sub.add_parser("vacuum", help="delete orphan data files")
     va.add_argument("--table", required=True)
+
+    fs = sub.add_parser("fsck", help="manifest integrity check")
+    fs.add_argument("--table", required=True)
+    fs.add_argument("--all-snapshots", action="store_true")
     return p
 
 
@@ -205,6 +209,12 @@ def main(argv: list[str] | None = None) -> int:
         table = LakeTable(spark, args.table)
         print(json.dumps(table.remove_orphans()))
         return 0
+
+    if args.cmd == "fsck":
+        table = LakeTable(spark, args.table)
+        res = table.verify(check_all_snapshots=args.all_snapshots)
+        print(json.dumps(res))
+        return 0 if res["ok"] else 1
 
     if args.cmd == "show":
         table = LakeTable(spark, args.table)

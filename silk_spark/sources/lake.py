@@ -960,5 +960,51 @@ class LakeTable:
                 d = os.path.dirname(d)
         return deleted
 
+    def verify(self, check_all_snapshots: bool = False) -> dict:
+        """Manifest integrity check (the table fsck): every file a
+        snapshot references must exist, every snapshot's parent chain
+        must resolve, the current pointer and every tag must point at
+        a known snapshot, and the batch ledger must cover every
+        batch-carrying snapshot. Returns {"ok": bool, "errors": [...],
+        "files_checked": n}; pure metadata + stat calls, no Spark job —
+        safe to run on a live table between commits."""
+        meta = self.meta
+        errors: list[str] = []
+        known = {s["snapshot_id"] for s in meta["snapshots"]}
+        cur = meta["current_snapshot_id"]
+        if cur is not None and cur not in known:
+            errors.append(f"current_snapshot_id {cur} not in snapshot log")
+        for name, sid in meta.get("tags", {}).items():
+            if sid not in known:
+                errors.append(f"tag {name!r} points at unknown snapshot {sid}")
+        ledger = set(meta["committed_batches"])
+        snaps = (
+            meta["snapshots"]
+            if check_all_snapshots
+            else ([self._snapshot(cur)] if cur is not None else [])
+        )
+        files_checked = 0
+        for s in snaps:
+            parent = s.get("parent_id")
+            # expiry may legitimately remove any non-tagged ancestor, so
+            # a missing parent is fine; an ORDERING violation is not
+            if parent is not None and parent >= s["snapshot_id"]:
+                errors.append(
+                    f"snapshot {s['snapshot_id']} has non-monotone parent {parent}"
+                )
+            if "batch_id" in s and s["batch_id"] not in ledger:
+                errors.append(
+                    f"snapshot {s['snapshot_id']} batch {s['batch_id']!r} "
+                    "missing from the idempotency ledger (replay would re-apply)"
+                )
+            for fs in s["files"].values():
+                for path, _sid in map(self._file_entry, fs):
+                    files_checked += 1
+                    if not os.path.exists(path):
+                        errors.append(
+                            f"snapshot {s['snapshot_id']} references missing file {path}"
+                        )
+        return {"ok": not errors, "errors": errors, "files_checked": files_checked}
+
     def drop(self) -> None:
         shutil.rmtree(self.root, ignore_errors=True)
