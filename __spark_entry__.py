@@ -893,6 +893,7 @@ def _simhash_oracle(max_hamming: int = 3) -> str:
 WITH d AS (
   SELECT doc_id, {_SHINGLES2_SQL} AS sh
   FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+  WHERE len(w) > 0  -- no-content guard, mirrors dedup_suite._content_guard
 ), t AS (
   SELECT doc_id, unnest(sh) AS tok FROM d
 ), hv AS (
@@ -911,6 +912,7 @@ _JACCARD_PAIRS_SQL = f"""
 WITH d AS (
   SELECT doc_id, {_SHINGLES3_SQL} AS sh
   FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+  WHERE len(w) > 0  -- no-content guard, mirrors dedup_suite._content_guard
 )
 SELECT l.doc_id AS left_id, r.doc_id AS right_id,
        round(len(list_distinct(list_intersect(l.sh, r.sh)))::DOUBLE

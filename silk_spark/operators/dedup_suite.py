@@ -27,16 +27,73 @@ MERSENNE_P = (1 << 31) - 1
 
 
 def _parallel(df: DataFrame) -> DataFrame:
-    """Widen a narrow scan to the session's parallelism. Small parquet
-    inputs arrive as 1-2 partitions, which would serialize the
-    shingle/signature expression work (the CPU cost center of every
-    operator here) on as many cores; one round-robin exchange up front
-    is far cheaper. A scan already at/above the default parallelism
-    (the 100 TB case) passes through untouched."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
+    """Widen a narrow scan to the session's configured minimum
+    parallelism. Small parquet inputs arrive as 1-2 partitions, which
+    would serialize the shingle/signature expression work (the CPU
+    cost center of every operator here) on as many cores; one
+    round-robin exchange up front is far cheaper.
+
+    Driven by spark.silk.scan.minParallelism (set by get_spark; 0 or
+    unset disables). Width is probed via inputFiles() — a metadata
+    call on the analyzed plan; NOT df.rdd, which forces a full RDD
+    conversion per operator call. File count lower-bounds partition
+    count (maxPartitionBytes only ever splits files further), so a
+    100 TB scan with thousands of files passes through untouched with
+    no exchange; a non-file source (in-memory test frames) reports no
+    files and gets widened, which is the right call there too."""
+    try:
+        target = int(df.sparkSession.conf.get("spark.silk.scan.minParallelism", "0"))
+    except ValueError:
+        target = 0
+    if target <= 0:
+        return df
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if len(files) >= target:
+        return df
+    return df.repartition(target)
+
+
+_PERSISTED: "list[DataFrame]" = []
+
+
+def _persist(df: DataFrame) -> DataFrame:
+    """persist() + track: the pair operators cache their tokenized
+    shingle frame (multiple verify subplans reference it), but a
+    long-lived session running many operator invocations (the
+    25-query bench, a notebook) would otherwise accumulate
+    MEMORY_AND_DISK blocks that disk spill does not LRU-evict.
+    Callers release them all via release_persisted() once the
+    operator's output is materialized."""
+    df = df.persist()
+    _PERSISTED.append(df)
     return df
+
+
+def release_persisted() -> int:
+    """Unpersist every shingle frame cached by the pair operators;
+    returns how many were released. Safe any time — a released frame
+    is recomputed (not broken) if its plan is re-executed."""
+    n = 0
+    while _PERSISTED:
+        try:
+            _PERSISTED.pop().unpersist()
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def _content_guard(text_col: str) -> Column:
+    """Docs whose text is null or normalizes to empty have no shingle
+    SET — word_shingles' short-doc fallback emits a one-element
+    degenerate array ([null] / [""]) shared by every such doc, which
+    would band-collide them all into one O(m²)-candidate LSH block —
+    and Jaccard over an empty set is undefined. Signature/banding
+    paths exclude them (mirrored in the DuckDB oracles)."""
+    return F.col(text_col).isNotNull() & (normalize_text(F.col(text_col)) != "")
 
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -194,9 +251,14 @@ def ngram_jaccard_pairs(
     split per doc) each time measured ~2x the whole operator at
     sf0.1. Multi-pass reuse of the tokenized corpus is the standard
     trade; pass-through scans stay lazy everywhere else."""
-    docs = _parallel(df).select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    docs = _persist(
+        _parallel(df)
+        .filter(_content_guard(text_col))
+        .select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+    )
     exploded = shingle_prefix_index(docs, threshold, prefix)
     return _verified_pairs(exploded, docs, threshold)
 
@@ -226,12 +288,16 @@ def minhash_signatures(
         word_shingles(F.col(text_col), shingle_n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
     )
-    # null text -> null shingle array: the explode formulation dropped
-    # those docs (zero rows), so drop them here too
+    # null/empty text never yields a null shingle ARRAY — word_shingles'
+    # short-doc fallback emits a one-element degenerate array ([null]
+    # or [""]), so every such doc would share ONE signature and band-
+    # collide into a single O(m²)-candidate LSH block. Jaccard over an
+    # empty shingle set is undefined anyway: exclude those docs here
+    # (the _content_guard), as does simhash_bands.
     base = (
         _parallel(df)
+        .filter(_content_guard(text_col))
         .select(F.col(id_col).alias("id"), hs.alias("_hs"))
-        .filter(F.col("_hs").isNotNull())
     )
     sig = F.array(
         *[
@@ -268,9 +334,12 @@ def minhash_lsh_pairs(
     exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    shingles = _persist(
+        df.filter(_content_guard(text_col)).select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+    )
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -298,8 +367,8 @@ def simhash_bands(
     for identical bits; same rewrite as minhash_signatures)."""
     hs = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
     base = (
-        df.select(F.col(id_col).alias("id"), hs.alias("_hs"))
-        .filter(F.col("_hs").isNotNull())
+        df.filter(_content_guard(text_col))
+        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
     )
     n = F.size("_hs")
 
@@ -336,9 +405,12 @@ def simhash_pairs(
     exploded = bands.select("id", F.explode("bands").alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = df.select(
-        F.col(id_col).alias("id"), word_shingles(F.col(text_col), shingle_n).alias("sh")
-    ).persist()
+    shingles = _persist(
+        df.filter(_content_guard(text_col)).select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+    )
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -364,8 +436,8 @@ def simhash60_signature(
     )
     base = (
         _parallel(df)
+        .filter(_content_guard(text_col))
         .select(F.col(id_col).alias("id"), hs.alias("_hs"))
-        .filter(F.col("_hs").isNotNull())
     )
     n = F.size("_hs")
     sig = None

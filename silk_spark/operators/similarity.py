@@ -13,10 +13,104 @@ table is tiny and broadcast."""
 
 from __future__ import annotations
 
+import math
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from silk_spark.operators.dedup_suite import cosine_similarity, vec_norm
+
+# Inline centroid expressions embed k×dim float literals in ONE
+# greatest/array expression — the right call for a small coarse
+# quantizer (zero shuffle, whole-stage codegen), but Janino/codegen
+# and plan serialization fall over around 10^4 inlined literals (a
+# 10^9-vector corpus wants k=4096, dim=768+ → millions). Above this
+# budget assignment/probing switch to the broadcast-DATA path: the
+# centroid table rides a one-row broadcast frame and the argmax runs
+# as higher-order functions, which evaluate iteratively per row (no
+# generated-code growth, still zero shuffle of the corpus).
+INLINE_CENTROID_FLOATS = int(os.environ.get("SILK_IVF_INLINE_MAX_FLOATS", "10000"))
+
+
+def _inline_ok(cents: list[tuple[int, list[float]]]) -> bool:
+    return sum(len(vec) for _, vec in cents) <= INLINE_CENTROID_FLOATS
+
+
+def _centroid_row_frame(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    """ONE row holding the whole centroid table (cid, vec, norm) —
+    crossJoined with F.broadcast it is exactly a broadcast variable,
+    but expressed as data instead of plan literals. Norms are folded
+    driver-side with the same float ops as _const_cosine (`or 1.0`
+    zero-guard included) so both paths score identically."""
+    data = [
+        (
+            [
+                (
+                    int(cid),
+                    [float(x) for x in vec],
+                    math.sqrt(sum(float(x) * float(x) for x in vec)) or 1.0,
+                )
+                for cid, vec in sorted(cents)
+            ],
+        )
+    ]
+    return spark.createDataFrame(
+        data, "_cents array<struct<cid:int,vec:array<double>,n:double>>"
+    )
+
+
+def _argmax_centroid_hof(v: Column, vn: Column, cents_col: Column) -> Column:
+    """argmax-cosine centroid id over a centroid ARRAY COLUMN via
+    aggregate (iterative, no codegen growth). Iteration is in
+    ascending-cid order and a strict `>` keeps the incumbent, so ties
+    resolve to the LOWER cid — the same rule as the inline
+    greatest-of-(s, -cid, cid) structs."""
+    init = F.struct(F.lit(float("-inf")).alias("s"), F.lit(-1).alias("cid"))
+
+    def step(acc: Column, c: Column) -> Column:
+        sim = cosine_similarity(
+            v, c.getField("vec"), norm_a=vn, norm_b=c.getField("n")
+        )
+        return F.when(
+            sim > acc.getField("s"),
+            F.struct(sim.alias("s"), c.getField("cid").alias("cid")),
+        ).otherwise(acc)
+
+    return F.aggregate(cents_col, init, step).getField("cid")
+
+
+def _probe_sims_hof(v: Column, vn: Column, cents_col: Column) -> Column:
+    """Per-centroid (s, -cid, cid) structs from the broadcast array —
+    same sort shape as the inline probing path."""
+    return F.transform(
+        cents_col,
+        lambda c: F.struct(
+            cosine_similarity(v, c.getField("vec"), norm_a=vn, norm_b=c.getField("n")).alias("s"),
+            (-c.getField("cid")).alias("r"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+
+
+def assign_nearest_centroid(
+    df: DataFrame,
+    v: Column,
+    cents: list[tuple[int, list[float]]],
+    out: str = "centroid_id",
+) -> DataFrame:
+    """Append the nearest-centroid id, choosing inline expressions or
+    the broadcast-frame HOF path by the k×dim literal budget. Both are
+    zero-shuffle scans of `df`."""
+    if _inline_ok(cents):
+        return df.withColumn(out, nearest_centroid_expr(v, cents))
+    cf = _centroid_row_frame(df.sparkSession, cents)
+    return (
+        df.withColumn("_vn", vec_norm(v))
+        .crossJoin(F.broadcast(cf))
+        .withColumn(out, _argmax_centroid_hof(v, F.col("_vn"), F.col("_cents")))
+        .drop("_cents", "_vn")
+    )
 
 
 def brute_force_topk(

@@ -16,11 +16,14 @@ an equi-join, not a cross product.
 Driver-side work is bounded: pivots + mapped threshold are fit on a
 collected SAMPLE (the reference fits on whole partitions, which are
 <= 1000 entities anyway); per-row coordinates are computed
-distributedly in one Arrow-batched pandas UDF.
+distributedly as pure JVM Column expressions (built-in levenshtein +
+higher-order-function arithmetic — fastmap_coordinates_expr), with a
+pandas-UDF twin kept only as a bit-exactness parity fixture.
 """
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 
 import pandas as pd
@@ -45,11 +48,19 @@ class FastMapModel:
 def _proj_distance(s1: str, c1: list[float], s2: str, c2: list[float], dim: int) -> float:
     """Distance in the residual space of dimension `dim`: original
     metric minus the projections onto the first `dim` axes
-    (StringMap.scala getDistance)."""
-    d2 = float(_plain_levenshtein(s1, s2)) ** 2
+    (StringMap.scala getDistance).
+
+    Float ops are explicit multiply + math.sqrt (both single-rounded
+    IEEE-754) rather than `**` (libm pow, up to 1 ulp off), so this
+    driver-side reference path is bit-identical to the JVM Column
+    compilation (fastmap_coordinates_expr) — pinned by the parity
+    test."""
+    lev = float(_plain_levenshtein(s1, s2))
+    d2 = lev * lev
     for k in range(dim):
-        d2 -= (c1[k] - c2[k]) ** 2
-    return (d2 if d2 > 0 else 0.0) ** 0.5
+        t = c1[k] - c2[k]
+        d2 -= t * t
+    return math.sqrt(d2 if d2 > 0 else 0.0)
 
 
 def fastmap_fit(
@@ -149,13 +160,96 @@ def map_value(model: FastMapModel, s: str) -> list[float]:
 
 def fastmap_coordinates(model: FastMapModel) -> Column:
     """Column factory: pandas UDF mapping a string column to its R^dim
-    coordinates (the model rides the closure as a broadcast)."""
+    coordinates (the model rides the closure as a broadcast).
+
+    Parity/testing path only — production candidate generation uses
+    fastmap_coordinates_expr (pure JVM columns, no per-row Python)."""
 
     @pandas_udf(ArrayType(DoubleType()))
     def _udf(s: pd.Series) -> pd.Series:
         return pd.Series([map_value(model, x) if x is not None else None for x in s])
 
     return _udf
+
+
+def fastmap_coordinates_expr(model: FastMapModel, col: Column) -> Column:
+    """map_value compiled to JVM Column expressions — the per-row hot
+    path with NO Python anywhere (the north rule's requirement; the
+    pandas-UDF variant ran 2×dim interpreted Levenshtein DPs per
+    string and was the engine's last per-row-Python cost center).
+
+    The FastMap recursion only ever consumes (a) the ORIGINAL
+    Levenshtein distances from the string to each dimension's two
+    pivots — 2×dim built-in `F.levenshtein` calls, codegen'd — and
+    (b) arithmetic over the coordinates computed for EARLIER
+    dimensions. (b) is expressed with higher-order functions
+    (`aggregate` over the dimension sequence accumulating the
+    coordinate array, `transform`/`aggregate` for the residual
+    projections), which the JVM evaluates ITERATIVELY per row — a
+    naive withColumn chain would let CollapseProject inline each
+    coordinate into the next and blow the expression tree up
+    exponentially (~3^dim nodes).
+
+    Float-op order replicates map_value exactly (sequential
+    subtraction of projection terms, sqrt-then-square, identical
+    association), so results are bit-identical to the pandas UDF —
+    pinned by tests (both IEEE-754 doubles with correctly-rounded
+    sqrt; same op sequence ⇒ same roundings).
+
+    Reference semantics: StringMap.scala:13-253 (mapValue /
+    getDistance)."""
+    dims = len(model.pivots_a)
+    # pivot strings / coords / dab as ARRAY LITERALS (constant-folded
+    # to one Literal each by the optimizer): each fold step below does
+    # its own element_at lookups + exactly TWO levenshtein calls. The
+    # obvious alternative — precomputing la = array(levenshtein(col,
+    # pivot_0), ...) outside and element_at-ing it inside the lambda —
+    # embeds the whole 2×dim-levenshtein array constructor into the
+    # lambda body, which the interpreter re-evaluates at EVERY step:
+    # O(dim²) Levenshtein DPs per row (measured ~800 µs/row at dim=10
+    # vs ~20 µs/row this way).
+    pa = F.array(*[F.lit(p) for p in model.pivots_a])
+    pb = F.array(*[F.lit(p) for p in model.pivots_b])
+    ca = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in model.pivot_coords_a]
+    )
+    cb = F.array(
+        *[F.array(*[F.lit(float(v)) for v in row]) for row in model.pivot_coords_b]
+    )
+    dab = F.array(*[F.lit(float(v)) for v in model.dab])
+
+    def _proj_sq(acc: Column, lev_d: Column, pivot_row: Column) -> Column:
+        # _proj_distance squared: lev² minus, IN ORDER, each
+        # (c_k − pivot_k)² for k < d (acc holds exactly the first d
+        # coords), clamped at 0 and passed through sqrt-then-square to
+        # reproduce map_value's float roundings bit-for-bit
+        sq_terms = F.transform(
+            acc,
+            lambda c, k: (c - F.element_at(pivot_row, k + F.lit(1)))
+            * (c - F.element_at(pivot_row, k + F.lit(1))),
+        )
+        resid = F.aggregate(sq_terms, lev_d * lev_d, lambda s, t: s - t)
+        root = F.sqrt(F.greatest(resid, F.lit(0.0)))
+        return root * root
+
+    def _step(acc: Column, d: Column) -> Column:
+        i = d + F.lit(1)
+        dab_d = F.element_at(dab, i)
+        la_d = F.levenshtein(col, F.element_at(pa, i)).cast("double")
+        lb_d = F.levenshtein(col, F.element_at(pb, i)).cast("double")
+        x2 = _proj_sq(acc, la_d, F.element_at(ca, i))
+        y2 = _proj_sq(acc, lb_d, F.element_at(cb, i))
+        c_d = F.when(dab_d == F.lit(0.0), F.lit(0.0)).otherwise(
+            (x2 + dab_d * dab_d - y2) / (F.lit(2.0) * dab_d)
+        )
+        return F.concat(acc, F.array(c_d))
+
+    coords = F.aggregate(
+        F.sequence(F.lit(0), F.lit(dims - 1)),
+        F.array().cast("array<double>"),
+        _step,
+    )
+    return F.when(col.isNull(), F.lit(None).cast("array<double>")).otherwise(coords)
 
 
 def stringmap_candidate_pairs(
@@ -205,19 +299,19 @@ def stringmap_candidate_pairs(
             .withColumn("mapped_dist", F.lit(0.0))
         )
     model = fastmap_fit(sample, dimensionality, dist_threshold)
-    coord = fastmap_coordinates(model)
     w = model.mapped_threshold
 
-    min_parts = left.sparkSession.sparkContext.defaultParallelism
-
     def mapped(df: DataFrame, key: str, side: str) -> DataFrame:
-        # the coordinate UDF is the per-row Python cost center (dim x 2
-        # Levenshtein per string); a small parquet scan arrives as 1-2
-        # partitions, which would serialize it on one core
-        if df.rdd.getNumPartitions() < min_parts:
-            df = df.repartition(min_parts)
+        # coordinates are pure JVM Column expressions (2×dim built-in
+        # levenshtein + HOF arithmetic); _parallel widens a narrow
+        # local scan via the conf-driven floor (inputFiles() probe —
+        # no .rdd, no exchange for an already-wide 100 TB scan)
+        from silk_spark.operators.dedup_suite import _parallel
+
         cols = [F.col(c).alias(f"{side}_{c}") for c in df.columns]
-        return df.select(*cols, coord(F.col(key)).alias(f"{side}_mc"))
+        return _parallel(df).select(
+            *cols, fastmap_coordinates_expr(model, F.col(key)).alias(f"{side}_mc")
+        )
 
     l = mapped(left, left_key, "left")
     r = mapped(right, right_key, "right")

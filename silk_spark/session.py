@@ -42,6 +42,11 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.parquet.compression.codec", "snappy")
+        # floor for widening narrow scans ahead of CPU-heavy per-row
+        # expression work (dedup shingles, stringmap coordinates);
+        # operators check inputFiles() count against it — see
+        # operators/dedup_suite._parallel. 0 disables.
+        .config("spark.silk.scan.minParallelism", str(cpus))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -385,27 +385,38 @@ class LakeTable:
             "_bucket"
         )
 
-    def lookup(self, key_value) -> DataFrame:
+    def lookup(self, key_value, as_of_snapshot: "int | str | None" = None) -> DataFrame:
         """Point lookup by the bucketing key (key_cols[0]): prune the
         scan to the ONE bucket the key hashes into, then push the key
         equality into the parquet scan. On a 4096-bucket 100 TB table
         this touches 1/4096 of the files (plus any not-yet-compacted
         unpartitioned deltas) instead of all of them — the serving-path
         read. The bucket id comes from a one-row local expression eval
-        (same xxhash64 the writer used), not a cluster job."""
+        (same xxhash64 the writer used), not a cluster job.
+
+        `as_of_snapshot` (id or tag) time-travels the lookup; the key
+        hashes with THAT snapshot's recorded bucket layout, so lookups
+        across a rescale_buckets boundary prune to the right bucket."""
         meta = self.meta
         key_col = meta["key_cols"][0]
+        sid = self.resolve_ref(as_of_snapshot)
+        snap_rec = (self._snapshot(sid) if sid is not None else self.current_snapshot()) or {}
+        eff_n_buckets = snap_rec.get("n_buckets", meta["n_buckets"])
         row = (
             self.spark.range(1)
             .select(
-                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(meta["n_buckets"]))
+                F.pmod(F.xxhash64(F.lit(key_value)), F.lit(eff_n_buckets))
                 .cast("int")
                 .alias("b")
             )
             .first()
         )
         return (
-            self.scan(buckets=[int(row["b"])], with_tombstones=False)
+            self.scan(
+                buckets=[int(row["b"])],
+                with_tombstones=False,
+                as_of_snapshot=sid,
+            )
             .filter(F.col(key_col) == F.lit(key_value))
             .drop("_bucket")
         )
@@ -747,6 +758,19 @@ class LakeTable:
                 "n_buckets": new_n,
                 "snapshot_id": self.meta["current_snapshot_id"],
             }
+        # legacy tables: snapshots written before layouts were recorded
+        # per-snapshot carry no 'n_buckets' — scan()'s fallback for
+        # those is the CURRENT meta value, which after this rescale
+        # would be the NEW count, silently misbucketing time-travel
+        # reads of old snapshots. Backfill the pre-rescale layout onto
+        # them in a metadata-only commit BEFORE switching layouts.
+        if any("n_buckets" not in s for s in self.meta["snapshots"]):
+            meta = dict(self.meta)
+            meta["snapshots"] = [
+                s if "n_buckets" in s else {**s, "n_buckets": meta["n_buckets"]}
+                for s in meta["snapshots"]
+            ]
+            self._write_meta(meta, version=self._meta_version + 1)
         resolved = self.scan(with_tombstones=True).drop("_bucket")
         return self._rewrite(
             resolved, f"rescale-{uuid.uuid4().hex[:8]}", "rescale", new_n
@@ -981,8 +1005,24 @@ class LakeTable:
         snaps = (
             meta["snapshots"]
             if check_all_snapshots
-            else ([self._snapshot(cur)] if cur is not None else [])
+            # a dangling current pointer is already recorded above —
+            # don't ALSO crash trying to load it (fsck must report
+            # every corruption class it detects, never die on one)
+            else ([self._snapshot(cur)] if cur is not None and cur in known else [])
         )
+        # rollback() intentionally removes rolled-past batch_ids from
+        # the ledger while their snapshots stay in the append-only log
+        # (time-travelable until expired) — ledger coverage is only
+        # required for snapshots NOT rolled past by a later rollback
+        rollbacks = [s for s in meta["snapshots"] if s.get("operation") == "rollback"]
+
+        def _rolled_past(s: dict) -> bool:
+            return any(
+                r["snapshot_id"] > s["snapshot_id"]
+                and r.get("rolled_back_to", 0) < s["snapshot_id"]
+                for r in rollbacks
+            )
+
         files_checked = 0
         for s in snaps:
             parent = s.get("parent_id")
@@ -992,7 +1032,7 @@ class LakeTable:
                 errors.append(
                     f"snapshot {s['snapshot_id']} has non-monotone parent {parent}"
                 )
-            if "batch_id" in s and s["batch_id"] not in ledger:
+            if "batch_id" in s and s["batch_id"] not in ledger and not _rolled_past(s):
                 errors.append(
                     f"snapshot {s['snapshot_id']} batch {s['batch_id']!r} "
                     "missing from the idempotency ledger (replay would re-apply)"

@@ -195,3 +195,49 @@ class TestEmbeddingNearDup:
         rows = out.collect()
         assert len(rows) == 1 and rows[0].left_id == 1 and rows[0].right_id == 2
         assert rows[0].cosine == pytest.approx(1.0)
+
+
+class TestContentGuardAndRelease:
+    def test_no_content_docs_excluded_from_lsh_paths(self, spark):
+        """Null/empty texts share ONE degenerate shingle array — without
+        the content guard they all band-collide into a single LSH block
+        (O(m²) candidates) and emit meaningless jaccard-1.0 pairs."""
+        from silk_spark.operators.dedup_suite import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+            simhash_hamming_pairs,
+        )
+
+        rows = [
+            (1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, None),
+            (4, ""),
+            (5, "   ...   "),  # normalizes to empty
+        ]
+        df = spark.createDataFrame(rows, "doc_id int, text string")
+        for fn in (minhash_lsh_pairs, ngram_jaccard_pairs):
+            pairs = fn(df, threshold=0.5).collect()
+            ids = {r["left_id"] for r in pairs} | {r["right_id"] for r in pairs}
+            assert ids <= {1, 2}, f"{fn.__name__} paired no-content docs: {pairs}"
+        ham = simhash_hamming_pairs(df, max_hamming=3).collect()
+        ids = {r["left_id"] for r in ham} | {r["right_id"] for r in ham}
+        assert ids <= {1, 2}, f"simhash paired no-content docs: {ham}"
+
+    def test_release_persisted_unpersists_tracked_frames(self, spark):
+        from silk_spark.operators import dedup_suite as ds
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(20)],
+            "doc_id int, text string",
+        )
+        ds.release_persisted()  # drain frames left by earlier tests
+        before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        ds.ngram_jaccard_pairs(df, threshold=0.5).count()
+        ds.minhash_lsh_pairs(df, threshold=0.5).count()
+        assert len(ds._PERSISTED) >= 2
+        released = ds.release_persisted()
+        assert released >= 2
+        assert not ds._PERSISTED
+        after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+        assert after <= before, f"leaked persisted RDDs: {after - before}"

@@ -123,3 +123,34 @@ class TestCandidatePairs:
         assert cand.count() == 0
         assert "mapped_dist" in cand.columns
         assert "left_name" in cand.columns and "right_name" in cand.columns
+
+
+class TestJvmCoordinateParity:
+    def test_expr_matches_udf_bit_exact(self, spark):
+        """The JVM Column compilation of map_value must reproduce the
+        pandas-UDF coordinates BIT-FOR-BIT (same IEEE-754 op sequence:
+        sequential projection subtraction, sqrt-then-square, same
+        association) — any drift would silently move grid-cell
+        boundaries in the candidate join."""
+        from silk_spark.operators.stringmap import (
+            fastmap_coordinates,
+            fastmap_coordinates_expr,
+        )
+
+        model = fastmap_fit(NAMES, dimensionality=10, dist_threshold=2)
+        rows = [(n,) for n in NAMES] + [("",), (None,), ("zzzz unrelated query",)]
+        df = spark.createDataFrame(rows, "name string")
+        got = df.select(
+            "name",
+            fastmap_coordinates(model)(F.col("name")).alias("udf"),
+            fastmap_coordinates_expr(model, F.col("name")).alias("expr"),
+        ).collect()
+        for r in got:
+            if r["name"] is None:
+                assert r["udf"] is None and r["expr"] is None
+                continue
+            assert r["udf"] == r["expr"], (
+                f"coordinate drift for {r['name']!r}: {r['udf']} != {r['expr']}"
+            )
+            # and both match the driver-side reference implementation
+            assert r["expr"] == map_value(model, r["name"])
