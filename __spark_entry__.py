@@ -92,20 +92,22 @@ def q_cdc_latest_by_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silk_spark.operators.dedup import latest_by_key
 
     ev = _t(spark, sf_dir, "events").select(
-        "user_id",
-        "event_type",
-        "event_id",
-        "value",
-        # TIMESTAMP_NTZ formatted wall-clock: identical in any session TZ
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "user_id", "event_type", "event_id", "value", "ts"
     )
-    latest = latest_by_key(ev, keys=("user_id", "event_type"), order=("ts_str", "event_id"))
+    # order by the RAW NTZ timestamp (binary comparison) and format
+    # only the winners: formatting every row before the max-by put a
+    # per-row date_format + string comparison in the hot aggregate —
+    # measured 0.75 s -> 0.58 s warm at sf0.1, and the r3 official run
+    # showed the string path degrading far worse under host contention
+    # (8.6 s). Ordering is identical: the format is fixed-width
+    # lexicographic. Output stays the TZ-stable formatted wall-clock.
+    latest = latest_by_key(ev, keys=("user_id", "event_type"), order=("ts", "event_id"))
     return latest.select(
         "user_id",
         "event_type",
         F.col("event_id").alias("last_event_id"),
         F.round("value", 2).alias("last_value"),
-        F.col("ts_str").alias("last_ts"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("last_ts"),
     )
 
 
@@ -120,9 +122,9 @@ def q_cdc_apply_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev_op().alias("op"),
         "event_id",
         "value",
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "ts",  # raw NTZ ordering — see q_cdc_latest_by_key
     )
-    latest = latest_by_key(ev, keys=("user_id",), order=("ts_str", "event_id"))
+    latest = latest_by_key(ev, keys=("user_id",), order=("ts", "event_id"))
     return latest.filter(F.col("op") != "D").select(
         "user_id",
         F.col("op").alias("last_op"),
@@ -164,13 +166,13 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev_op().alias("op"),
         "event_id",
         F.round("value", 2).alias("value"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "ts",  # raw NTZ ordering — see q_cdc_latest_by_key
     )
     cut = ev.agg(F.floor(F.max("event_id") * 3 / 5).alias("cut"))
     pref = ev.join(F.broadcast(cut), ev.event_id < cut.cut, "inner").drop("cut")
 
     def live(df):
-        latest = latest_by_key(df, keys=("user_id",), order=("ts_str", "event_id"))
+        latest = latest_by_key(df, keys=("user_id",), order=("ts", "event_id"))
         return latest.filter(F.col("op") != "D")
 
     old = live(pref).select(
@@ -200,6 +202,117 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "after_event_id",
             F.col("after_value").cast("double").alias("after_value"),
         )
+    )
+
+
+def q_rdf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF source end to end (silk-plugins-rdf SimpleEntityRetriever
+    semantics over a file graph): customer + nation rows are
+    serialized as N-Triples text, re-parsed with the built-in-regexp
+    `ntriples` reader, restricted by rdf:type at the triple scan,
+    pivoted to entity tables (array<string> cells), and joined across
+    the `nation` object property. The oracle recomputes the same
+    projection relationally — proving parse + restriction + pivot +
+    cross-entity navigation are lossless."""
+    import tempfile
+
+    from silk_spark.sources.rdf import RDF_TYPE, entity_table, ntriples
+
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    u = lambda pre, k: F.concat(F.lit(f"<urn:{pre}:"), F.col(k).cast("string"), F.lit(">"))  # noqa: E731
+    lines = (
+        cust.select(F.concat(u("cust", "c_custkey"), F.lit(f" <{RDF_TYPE}> <urn:T:Customer> .")).alias("value"))
+        .unionByName(cust.select(F.concat(u("cust", "c_custkey"), F.lit(' <urn:v:name> "'), "c_name", F.lit('" .')).alias("value")))
+        .unionByName(cust.select(F.concat(u("cust", "c_custkey"), F.lit(" <urn:v:nation> "), u("nation", "c_nationkey"), F.lit(" .")).alias("value")))
+        .unionByName(nation.select(F.concat(u("nation", "n_nationkey"), F.lit(f" <{RDF_TYPE}> <urn:T:Nation> .")).alias("value")))
+        .unionByName(nation.select(F.concat(u("nation", "n_nationkey"), F.lit(' <urn:v:name> "'), "n_name", F.lit('" .')).alias("value")))
+    )
+    root = tempfile.mkdtemp(prefix="silk_spark_rdf_")
+    nt_dir = os.path.join(root, "graph.nt")
+    lines.write.mode("overwrite").text(nt_dir)
+    triples = ntriples(spark, nt_dir)
+    customers = entity_table(
+        triples, predicates=["urn:v:name", "urn:v:nation"], type_uri="urn:T:Customer"
+    )
+    nations = entity_table(
+        triples, predicates=["urn:v:name"], type_uri="urn:T:Nation", uri_col="_nuri"
+    )
+    return (
+        customers.select(
+            F.col("_uri").alias("uri"),
+            F.element_at("name", 1).alias("name"),
+            F.element_at("nation", 1).alias("nation_uri"),
+        )
+        .join(
+            F.broadcast(
+                nations.select(
+                    F.col("_nuri").alias("nation_uri"),
+                    F.element_at("name", 1).alias("nation_name"),
+                )
+            ),
+            "nation_uri",
+        )
+        .select("uri", "name", "nation_uri", "nation_name")
+    )
+
+
+def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mid-stream schema evolution through the REAL lake pipeline (the
+    north rule's evolution pillar, end to end): a transcript-shaped
+    changelog is derived deterministically from the events table; the
+    v1 half (lsn below the midpoint) physically LACKS the `tool`
+    column, the v2 half carries it. Both halves replay through
+    CdcPipeline into a LakeTable created WITHOUT `tool`, so the
+    registry must evolve (new column ID, union-with-null reads of v1
+    data files — silk_spark/schema.py; schema-aware scan lake.py) and
+    the final state must equal the oracle's single-pass max-by-(ts,
+    lsn) reduction with tool NULL wherever the winning event predates
+    the cut. Reference analogue: TransformRule schema remapping,
+    silk-rules/.../rule/TransformRule.scala:33-138."""
+    import tempfile
+
+    from silk_spark.checkpoint import CheckpointStore
+    from silk_spark.streaming.pipeline import CdcPipeline, create_transcripts_table
+
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(F.min("event_id").alias("lo"), F.max("event_id").alias("hi")).first()
+    cut = (int(bounds["lo"]) + int(bounds["hi"])) // 2
+    hi = int(bounds["hi"]) + 1
+    log = ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.pmod(F.col("event_id"), F.lit(20)).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.concat_ws(":", "event_type", "user_id").alias("text"),
+        F.col("event_type").alias("tool"),
+        # events.ts is TIMESTAMP_NTZ; the transcripts table declares
+        # timestamp — UTC session TZ makes the cast wall-clock-exact
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.col("event_id").alias("lsn"),
+        _ev_op().alias("op"),
+    )
+    root = tempfile.mkdtemp(prefix="silk_spark_evo_")
+    table = create_transcripts_table(spark, os.path.join(root, "t"), n_buckets=8)
+    ckpt = CheckpointStore(os.path.join(root, "cp"))
+    v1 = log.filter(F.col("lsn") < cut).drop("tool")
+    v2 = log.filter(F.col("lsn") >= cut)
+    CdcPipeline(spark, table, ckpt, changelog=v1).run(
+        end_lsn=cut, batch_size=max(cut // 2, 1)
+    )
+    assert "tool" not in table.schema.names(), "premature evolution"
+    CdcPipeline(spark, table.refresh(), ckpt, changelog=v2).run(
+        end_lsn=hi, batch_size=max((hi - cut) // 2, 1), start_lsn=cut
+    )
+    assert "tool" in table.schema.names(), "registry did not evolve"
+    return table.read().select(
+        "conv_id",
+        "turn_idx",
+        "role",
+        "text",
+        "tool",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("ts_str"),
+        "lsn",
+        "op",
     )
 
 
@@ -798,6 +911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_part_names": q_link_part_names,
         "link_best_match": q_link_best_match,
         "link_qgram_blocked": q_link_qgram_blocked,
+        "cdc_schema_evolution": q_cdc_schema_evolution,
+        "rdf_entities": q_rdf_entities,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1081,6 +1196,32 @@ WITH r AS (
 SELECT user_id, event_type, event_id AS last_event_id,
        round(value, 2) AS last_value, ts_str AS last_ts
 FROM r WHERE rn = 1
+""",
+        "rdf_entities": """
+SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,
+       c_name AS name,
+       'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nation_uri,
+       n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
+        "cdc_schema_evolution": f"""
+WITH log AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id % 20 AS INT) AS turn_idx,
+         event_type AS role,
+         event_type || ':' || CAST(user_id AS VARCHAR) AS text,
+         CASE WHEN event_id >= (SELECT (MIN(event_id) + MAX(event_id)) // 2 FROM events)
+              THEN event_type END AS tool,
+         ts, event_id AS lsn, {_EV_OP_SQL} AS op
+  FROM events
+), w AS (
+  SELECT *, row_number() OVER (PARTITION BY conv_id, turn_idx
+                               ORDER BY ts DESC, lsn DESC) AS rn
+  FROM log
+)
+SELECT conv_id, turn_idx, role, text, tool,
+       strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS ts_str, lsn, op
+FROM w WHERE rn = 1 AND op <> 'D'
 """,
         "cdc_apply_events": f"""
 WITH r AS (

@@ -252,6 +252,8 @@ BENCH_QUERIES = [
     "cdc_latest_by_key",
     "cdc_apply_events",
     "cdc_snapshot_diff",
+    "cdc_schema_evolution",
+    "rdf_entities",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",

@@ -114,13 +114,82 @@ def filter_links(
     )
 
 
+class MatchTimeout(Exception):
+    """Matching exceeded its wall-clock budget and was cancelled."""
+
+
+def _materialize_with_timeout(df: DataFrame, timeout_sec: float) -> DataFrame:
+    """Run `df`'s materialization inside a Spark job group and cancel
+    the whole group when the clock runs out — the Spark analogue of
+    Silk's matcher timeout, which stops scheduling partition-pair
+    tasks and interrupts running ones past the budget
+    (Matcher.scala:76-81). localCheckpoint keeps the result
+    DISTRIBUTED (executor block store), so a bounded-but-large link
+    set never funnels through the driver.
+
+    Granularity caveat: cancellation prevents unscheduled tasks from
+    starting and interrupts running ones, but a running task only
+    observes the interrupt at its next check point (record emission,
+    shuffle write) — a codegen'd join loop that FILTERS OUT every row
+    can run its whole partition before dying. Plan matching with many
+    moderate tasks (the blocking methods in operators/blocking.py do
+    exactly this), not one giant partition."""
+    import threading
+    import uuid
+
+    spark = df.sparkSession
+    sc = spark.sparkContext
+    group = f"silk-match-{uuid.uuid4().hex[:8]}"
+    result: dict = {}
+
+    def run() -> None:
+        # job groups are thread-local (pinned-thread mode), so the
+        # group set here scopes exactly this materialization
+        sc.setJobGroup(group, "generate_links matching timeout scope",
+                       interruptOnCancel=True)
+        try:
+            result["df"] = df.localCheckpoint(eager=True)
+        except Exception as e:  # noqa: BLE001 — surfaced to caller below
+            result["err"] = e
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    t.join(timeout_sec)
+    if t.is_alive():
+        sc.cancelJobGroup(group)
+        t.join(30.0)
+        raise MatchTimeout(
+            f"matching exceeded {timeout_sec}s and was cancelled "
+            f"(job group {group})"
+        )
+    if "err" in result:
+        raise result["err"]
+    return result["df"]
+
+
 def generate_links(
     pairs: DataFrame,
     rule: LinkageRule,
     source_cols: list[str],
+    limit: int | None = None,
+    timeout_sec: float | None = None,
 ) -> DataFrame:
-    """block(done by caller via candidate_pairs) → score → filter."""
-    return filter_links(score_pairs(pairs, rule), source_cols, rule)
+    """block(done by caller via candidate_pairs) → score → filter.
+
+    `limit` caps the GLOBAL number of links (LinkSpec.scala:61-66 —
+    distinct from the rule's per-source top-k, which filter_links
+    applies): Catalyst plans it as CollectLimit, so generation stops
+    early rather than filtering afterwards. `timeout_sec` bounds
+    matching wall-clock via job-group cancellation (Matcher.scala:
+    76-81); it forces (distributed) materialization — without a
+    deadline a lazy plan has nothing to cancel — and raises
+    MatchTimeout when exceeded."""
+    out = filter_links(score_pairs(pairs, rule), source_cols, rule)
+    if limit is not None:
+        out = out.limit(int(limit))
+    if timeout_sec is not None:
+        return _materialize_with_timeout(out, float(timeout_sec))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -219,7 +219,9 @@ def ivf_build_centroids(
     for _ in range(max(n_iters, 0)):
         cents = collect_centroids(cent_df)
         cent_df = _means(
-            corpus.select(nearest_centroid_expr(v, cents).alias("centroid_id"), v.alias("v"))
+            assign_nearest_centroid(
+                corpus.select(v.alias("v")), F.col("v"), cents
+            ).select("centroid_id", "v")
         )
     return cent_df
 
@@ -264,25 +266,31 @@ def ivf_topk(
         vec_norm(F.col(vec_col)).alias("qn"),
     )
 
-    # corpus → nearest centroid: zero-shuffle scan
-    c_assigned = c.select(
-        "match_id", "cv", "cn", nearest_centroid_expr(F.col("cv"), cents).alias("centroid_id")
-    )
+    # corpus → nearest centroid: zero-shuffle scan (inline expressions
+    # or the broadcast-frame HOF path by the k×dim literal budget)
+    c_assigned = assign_nearest_centroid(c, F.col("cv"), cents)
 
     # query → nprobe nearest centroids: sort the k-struct array, take
     # the top slice, explode — still no shuffle
-    sims = F.array(
-        *[
-            F.struct(
-                _const_cosine(F.col("qv"), vec).alias("s"),
-                F.lit(-cid).alias("r"),
-                F.lit(cid).alias("cid"),
-            )
-            for cid, vec in cents
-        ]
-    )
-    probed = F.slice(F.reverse(F.array_sort(sims)), 1, min(nprobe, len(cents)))
-    q_probed = q.select(
+    if _inline_ok(cents):
+        sims = F.array(
+            *[
+                F.struct(
+                    _const_cosine(F.col("qv"), vec).alias("s"),
+                    F.lit(-cid).alias("r"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, vec in cents
+            ]
+        )
+        q_sims = q.withColumn("_sims", sims)
+    else:
+        cf = _centroid_row_frame(queries.sparkSession, cents)
+        q_sims = q.crossJoin(F.broadcast(cf)).withColumn(
+            "_sims", _probe_sims_hof(F.col("qv"), F.col("qn"), F.col("_cents"))
+        ).drop("_cents")
+    probed = F.slice(F.reverse(F.array_sort(F.col("_sims"))), 1, min(nprobe, len(cents)))
+    q_probed = q_sims.select(
         "query_id", "qv", "qn", F.explode(probed).alias("_p")
     ).select("query_id", "qv", "qn", F.col("_p").getField("cid").alias("centroid_id"))
 

@@ -171,3 +171,56 @@ class TestSyntheticGolden:
         m = evaluate_links(links, golden.select("left_rec_id", "right_rec_id"), ["left_rec_id", "right_rec_id"])
         assert m["pairs_completeness"] == 1.0
         assert m["pairs_quality"] == 1.0
+
+
+class TestGlobalLimitAndTimeout:
+    """Silk's matching timeout / global link limit (Matcher.scala:76-81,
+    LinkSpec.scala:61-66): limit() caps total links; job-group
+    cancellation bounds matching wall-clock."""
+
+    def test_global_limit_caps_total_links(self, spark, names):
+        from silk_spark.operators.blocking import full_index, candidate_pairs
+
+        left, right = names
+        rule = LinkageRule(Comparison("levenshteinDistance", "name", threshold=10.0))
+        pairs = candidate_pairs(left, right, full_index(), full_index())
+        unlimited = generate_links(pairs, rule, ["left_id"]).count()
+        assert unlimited > 2
+        capped = generate_links(pairs, rule, ["left_id"], limit=2)
+        assert capped.count() == 2
+
+    def test_timeout_completes_fast_job(self, spark, names):
+        from silk_spark.operators.blocking import full_index, candidate_pairs
+
+        left, right = names
+        rule = LinkageRule(Comparison("levenshteinDistance", "name", threshold=2.0), limit=1)
+        pairs = candidate_pairs(left, right, full_index(), full_index())
+        links = generate_links(pairs, rule, ["left_id"], timeout_sec=120.0)
+        got = {(r.left_id, r.right_id) for r in links.select("left_id", "right_id").collect()}
+        assert got == GOLDEN
+
+    def test_timeout_cancels_runaway_matching(self, spark):
+        """A matching job far exceeding the deadline must be cancelled —
+        unscheduled tasks never start (cancellation granularity is the
+        task boundary, same as Silk's partition-pair tasks) — and the
+        session must stay usable afterwards. The workload is 64 tasks
+        of ~4s each (~37s run to completion at 8 cores, measured): a
+        2s deadline must come back in a small multiple of one task."""
+        import time
+
+        from silk_spark.operators.linking import MatchTimeout
+
+        big = spark.range(0, 3_200_000, 1, 64).selectExpr(
+            "id as left_id",
+            "repeat(cast(id as string), 15) as left_name",
+            "id as right_id",
+            "reverse(repeat(cast(id as string), 15)) as right_name",
+        )
+        rule = LinkageRule(Comparison("levenshteinDistance", "name", threshold=2.0))
+        t0 = time.monotonic()
+        with pytest.raises(MatchTimeout):
+            generate_links(big, rule, ["left_id"], timeout_sec=2.0)
+        # < full-job wall by a wide margin: only in-flight tasks wrap up
+        assert time.monotonic() - t0 < 25.0
+        # session healthy after cancellation
+        assert spark.range(5).count() == 5

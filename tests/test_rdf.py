@@ -1,0 +1,122 @@
+"""RDF source/sink: N-Triples parse, rdf:type restriction pushdown,
+entity pivot, path navigation over RDF entities, links.nt sink.
+
+Reference semantics: silk-plugins-rdf SimpleEntityRetriever.scala:29
+(entities = per-path values of restricted subjects) and the links.nt
+LinkSink output format."""
+
+import os
+
+import pytest
+
+from silk_spark.plans.paths import navigate
+from silk_spark.sources.rdf import (
+    OWL_SAME_AS,
+    RDF_TYPE,
+    entity_table,
+    local_name,
+    ntriples,
+    restricted_subjects,
+    write_links_ntriples,
+)
+
+NT = """\
+# a comment line
+<urn:p:1> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:T:Person> .
+<urn:p:1> <http://xmlns.com/foaf/0.1/name> "Alice \\"Al\\" Smith" .
+<urn:p:1> <http://xmlns.com/foaf/0.1/knows> <urn:p:2> .
+<urn:p:1> <http://xmlns.com/foaf/0.1/knows> <urn:p:3> .
+
+<urn:p:2> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:T:Person> .
+<urn:p:2> <http://xmlns.com/foaf/0.1/name> "Bob"@en .
+<urn:p:3> <http://www.w3.org/1999/02/22-rdf-syntax-ns#type> <urn:T:Robot> .
+<urn:p:3> <http://xmlns.com/foaf/0.1/name> "C3\\\\PO"^^<http://www.w3.org/2001/XMLSchema#string> .
+_:blank <http://xmlns.com/foaf/0.1/name> "anon" .
+this line is malformed and must be dropped
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("rdf")
+    p = os.path.join(str(d), "g.nt")
+    with open(p, "w") as f:
+        f.write(NT)
+    return p
+
+
+@pytest.fixture(scope="module")
+def triples(spark, nt_path):
+    return ntriples(spark, nt_path)
+
+
+class TestParse:
+    def test_counts_and_malformed_dropped(self, triples):
+        # 9 well-formed triples; comment/blank/malformed lines dropped
+        assert triples.count() == 9
+
+    def test_uri_literal_lang_datatype(self, triples):
+        rows = {(r.subject, r.predicate): r for r in triples.collect()}
+        name1 = rows[("urn:p:1", "http://xmlns.com/foaf/0.1/name")]
+        assert name1.object == 'Alice "Al" Smith'  # \" unescaped
+        assert name1.is_literal and name1.lang is None
+        name2 = rows[("urn:p:2", "http://xmlns.com/foaf/0.1/name")]
+        assert name2.lang == "en"
+        name3 = rows[("urn:p:3", "http://xmlns.com/foaf/0.1/name")]
+        assert name3.object == "C3\\PO"  # \\ unescapes to one backslash
+        assert name3.datatype == "http://www.w3.org/2001/XMLSchema#string"
+        knows = rows[("urn:p:1", "http://xmlns.com/foaf/0.1/knows")]
+        assert not knows.is_literal
+        anon = rows[("_:blank", "http://xmlns.com/foaf/0.1/name")]
+        assert anon.object == "anon"
+
+    def test_local_name(self):
+        assert local_name("http://xmlns.com/foaf/0.1/name") == "name"
+        assert local_name(RDF_TYPE) == "type"
+        assert local_name("urn:p:knows") == "knows"
+
+
+class TestEntityTable:
+    def test_restriction_pushdown(self, triples):
+        subs = {r.subject for r in restricted_subjects(triples, "urn:T:Person").collect()}
+        assert subs == {"urn:p:1", "urn:p:2"}
+
+    def test_pivot_multivalued_cells(self, triples):
+        ent = entity_table(triples, type_uri="urn:T:Person")
+        rows = {r["_uri"]: r for r in ent.collect()}
+        assert set(rows) == {"urn:p:1", "urn:p:2"}
+        assert rows["urn:p:1"]["knows"] == ["urn:p:2", "urn:p:3"]  # Seq[String] cell
+        assert rows["urn:p:1"]["name"] == ['Alice "Al" Smith']
+        # absent property -> EMPTY cell (Silk's Seq[String] is empty,
+        # never null — Entity.scala:36-41)
+        assert rows["urn:p:2"]["knows"] == []
+
+    def test_navigate_forward_path_over_rdf(self, spark, triples):
+        """The path language runs unchanged on the pivoted frame."""
+        ent = entity_table(triples, type_uri="urn:T:Person")
+        out = navigate(ent, "/name")
+        got = {tuple(r["_value"]) for r in out.filter("_value is not null").collect()}
+        assert ('Alice "Al" Smith',) in got and ("Bob",) in got
+
+    def test_navigate_backward_over_rdf(self, spark, triples):
+        """\\knows from p:2: who knows p:2?"""
+        ent = entity_table(triples)
+        p2 = ent.filter("_uri = 'urn:p:2'")
+        out = navigate(p2, "\\knows", graph=ent)
+        assert {r["_uri"] for r in out.collect()} == {"urn:p:1"}
+
+
+class TestLinkSink:
+    def test_round_trip(self, spark, tmp_path):
+        links = spark.createDataFrame(
+            [("urn:p:1", "urn:q:9"), ("urn:p:2", "urn:q:8")],
+            "left_uri string, right_uri string",
+        )
+        out = str(tmp_path / "links_nt")
+        write_links_ntriples(links, out)
+        back = ntriples(spark, out)
+        got = {(r.subject, r.predicate, r.object) for r in back.collect()}
+        assert got == {
+            ("urn:p:1", OWL_SAME_AS, "urn:q:9"),
+            ("urn:p:2", OWL_SAME_AS, "urn:q:8"),
+        }

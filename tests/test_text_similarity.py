@@ -144,3 +144,53 @@ class TestSimilaritySearch:
             .collect()
         )
         assert max(r["s"] for r in sims) < 0.99
+
+
+class TestLargeQuantizerBroadcastPath:
+    def test_broadcast_assignment_matches_inline(self, spark, emb):
+        """The two assignment paths (inlined literal expressions vs the
+        one-row broadcast centroid frame + HOF argmax) must pick the
+        same centroid for every vector — same scoring formula, same
+        lower-cid tie rule."""
+        import silk_spark.operators.similarity as sim
+
+        cents = sim.collect_centroids(
+            sim.ivf_build_centroids(emb, n_centroids=8, n_iters=1)
+        )
+        v = emb.select("vec_id", "embedding")
+        inline = sim.assign_nearest_centroid(v, sim.F.col("embedding"), cents)
+        assert "_cents" not in inline.columns
+        old = sim.INLINE_CENTROID_FLOATS
+        sim.INLINE_CENTROID_FLOATS = 1  # force the broadcast path
+        try:
+            bcast = sim.assign_nearest_centroid(v, sim.F.col("embedding"), cents)
+        finally:
+            sim.INLINE_CENTROID_FLOATS = old
+        got_i = {r["vec_id"]: r["centroid_id"] for r in inline.collect()}
+        got_b = {r["vec_id"]: r["centroid_id"] for r in bcast.collect()}
+        assert got_i == got_b
+
+    def test_ivf_topk_with_k256_dim256_quantizer(self, spark):
+        """k·dim = 65536 inlined literals blew the codegen/plan-size
+        budget in the inline-only implementation; the broadcast path
+        must handle it and, at nprobe = n_centroids (every cell
+        probed), reproduce the exact brute-force top-k."""
+        import random
+
+        from silk_spark.operators.similarity import (
+            brute_force_topk,
+            ivf_topk,
+        )
+
+        rng = random.Random(7)
+        dim, k_cent, n = 256, 256, 120
+        rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(n)]
+        df = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+        cents = [(c, [rng.uniform(-1, 1) for _ in range(dim)]) for c in range(k_cent)]
+        exact = brute_force_topk(df.limit(8), df, k=3)
+        approx = ivf_topk(
+            df.limit(8), df, k=3, n_centroids=k_cent, nprobe=k_cent, centroids=cents
+        )
+        e = {(r.query_id, r.match_id) for r in exact.collect()}
+        a = {(r.query_id, r.match_id) for r in approx.collect()}
+        assert a == e
