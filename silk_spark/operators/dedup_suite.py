@@ -8,10 +8,15 @@ operators/blocking.py; reference Matcher semantics at
 
 Scale design: every method is candidate-generation (explode compact
 block ids, equi-join) followed by an EXACT verification predicate, so
-the expensive pairwise check runs only on the candidate set. MinHash
-signatures are computed with explode + groupBy (map-side partial agg)
-rather than 128 nested array transforms — the shuffle carries one
-row per (doc, token), then collapses to one signature row per doc.
+the expensive pairwise check runs only on the candidate set. MinHash /
+SimHash signatures are ZERO-SHUFFLE: the per-doc token-hash array
+materializes once and every permutation/bit reduces over it in the
+same projection (the old explode + groupBy formulation exchanged
+|docs|×|tokens| rows for byte-identical signatures). The reduction
+itself has two interchangeable, bit-identical backends — JVM
+higher-order functions, or an Arrow-batched numpy kernel for the
+O(perms×tokens) arithmetic (HOFs are interpreted, not codegen'd; see
+`spark.silk.signatures.impl`).
 
 All hashes are 31-bit modular permutations over xxhash64 token codes:
 h_i(x) = (a_i * x + b_i) mod p, p = 2^31 - 1 — products stay < 2^62,
@@ -84,6 +89,78 @@ def release_persisted() -> int:
         except Exception:
             pass
     return n
+
+
+def _signature_impl(df: DataFrame) -> str:
+    """Backend for the O(perms×tokens) signature arithmetic:
+    'arrow' (default) = one Arrow-batched numpy kernel per partition —
+    the per-doc hash array crosses to numpy ONCE and the 128-perm
+    mult-mod-min / 60-bit popcount runs as matrix ops; 'jvm' = pure
+    higher-order-function Columns. Both are BIT-IDENTICAL (same int64
+    arithmetic, pinned by tests) and zero-shuffle; HOFs are
+    interpreted (not codegen'd), which makes the 128-perm arithmetic
+    the cost center. Measured end-to-end at sf0.1 (warm, 32 cores):
+    minhash_lsh 9.4 s jvm → 5.6 s arrow; simhash is a wash (the md5
+    token hashing dominates it, and that stays JVM in both). Under
+    host contention the gap widens (round-3 official jvm: 48 s).
+    Token hashing (xxhash64 / md5) stays JVM-side either way.
+    Override with spark.silk.signatures.impl."""
+    try:
+        v = df.sparkSession.conf.get("spark.silk.signatures.impl", "arrow")
+    except Exception:
+        v = "arrow"
+    return v if v in ("arrow", "jvm") else "arrow"
+
+
+def _minhash_sig_arrow(params: "list[tuple[int, int]]"):
+    """pandas UDF: per-doc min-hash signature from the token-hash
+    array. (A·h + B) mod p row-min over a (perms × tokens) int64
+    matrix — exact JVM parity: a < 2^31, h < 2^31-1 keeps products
+    under 2^62 (no int64 overflow), and numpy % on non-negatives
+    matches Spark's % on non-negatives."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(hs):  # pd.Series -> pd.Series (hints omitted: module-level
+        # `from __future__ import annotations` stringifies them and
+        # pyspark can't resolve `pd` from this closure's globals)
+        out = []
+        for h in hs:
+            hv = np.asarray(h, dtype=np.int64)
+            out.append(((A * hv + B) % MERSENNE_P).min(axis=1))
+        return pd.Series(out)
+
+    return _sig
+
+
+def _simhash60_sig_arrow():
+    """pandas UDF: 60-bit SimHash from the token-hash array.
+    bit_b = [2 · count(bit b set) > tokens] — identical rule to the
+    JVM expression; the packed signature stays < 2^60 (int64-safe)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    bits = np.arange(60, dtype=np.int64)
+    weights = np.int64(1) << bits
+
+    @pandas_udf(LongType())
+    def _sig(hs):  # pd.Series -> pd.Series (hints omitted, see above)
+        out = np.empty(len(hs), dtype=np.int64)
+        for i, h in enumerate(hs):
+            hv = np.asarray(h, dtype=np.int64)
+            cnt = ((hv[:, None] >> bits) & 1).sum(axis=0)
+            out[i] = int(((cnt * 2 > len(hv)) * weights).sum())
+        return pd.Series(out)
+
+    return _sig
 
 
 def _content_guard(text_col: str) -> Column:
@@ -288,6 +365,7 @@ def minhash_signatures(
         word_shingles(F.col(text_col), shingle_n),
         lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
     )
+    impl = _signature_impl(df)
     # null/empty text never yields a null shingle ARRAY — word_shingles'
     # short-doc fallback emits a one-element degenerate array ([null]
     # or [""]), so every such doc would share ONE signature and band-
@@ -299,6 +377,8 @@ def minhash_signatures(
         .filter(_content_guard(text_col))
         .select(F.col(id_col).alias("id"), hs.alias("_hs"))
     )
+    if impl == "arrow":
+        return base.select("id", _minhash_sig_arrow(params)(F.col("_hs")).alias("sig"))
     sig = F.array(
         *[
             F.array_min(F.transform(F.col("_hs"), lambda x: (F.lit(a) * x + F.lit(b)) % MERSENNE_P))
@@ -439,6 +519,8 @@ def simhash60_signature(
         .filter(_content_guard(text_col))
         .select(F.col(id_col).alias("id"), hs.alias("_hs"))
     )
+    if _signature_impl(df) == "arrow":
+        return base.select("id", _simhash60_sig_arrow()(F.col("_hs")).alias("sig"))
     n = F.size("_hs")
     sig = None
     for b in range(60):

@@ -91,9 +91,17 @@ def near_dup_mapping(
         F.col(text_col).alias("text"),
     ).filter(F.col("text").isNotNull())
     pairs = window_candidates(rec, turn_window)
+    # length band first (lossless: lev(x,y) >= |len(x)-len(y)|, so a
+    # pair outside the band can never verify) — one integer compare
+    # prunes most candidates before the string DP and keeps the
+    # window's input to actual near-dup volume
+    banded = pairs.filter(
+        F.abs(F.length("left_text") - F.length("right_text"))
+        <= F.lit(int(text_threshold))
+    )
     # 3-arg levenshtein (banded DP, early exit) — candidate pairs that
     # are far apart cost O(n·k) instead of O(n^2) and return -1
-    scored = pairs.withColumn(
+    scored = banded.withColumn(
         "lev",
         F.levenshtein(F.col("left_text"), F.col("right_text"), int(text_threshold)),
     ).filter(F.col("lev") >= 0)

@@ -241,3 +241,31 @@ class TestContentGuardAndRelease:
         assert not ds._PERSISTED
         after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+    def test_arrow_and_jvm_signatures_bit_identical(self, spark):
+        """The Arrow numpy kernel and the JVM HOF expressions must
+        produce byte-identical MinHash and SimHash signatures — the
+        backend is a pure performance knob, never a semantics one."""
+        from silk_spark.operators.dedup_suite import (
+            minhash_signatures,
+            simhash60_signature,
+        )
+
+        df = spark.createDataFrame(
+            [(i, f"token{i % 7} alpha beta gamma delta {i} epsilon zeta") for i in range(40)],
+            "doc_id int, text string",
+        )
+        outs = {}
+        for impl in ("arrow", "jvm"):
+            spark.conf.set("spark.silk.signatures.impl", impl)
+            try:
+                outs[impl, "mh"] = {
+                    r["id"]: list(r["sig"]) for r in minhash_signatures(df, num_perm=32).collect()
+                }
+                outs[impl, "sh"] = {
+                    r["id"]: r["sig"] for r in simhash60_signature(df).collect()
+                }
+            finally:
+                spark.conf.unset("spark.silk.signatures.impl")
+        assert outs["arrow", "mh"] == outs["jvm", "mh"]
+        assert outs["arrow", "sh"] == outs["jvm", "sh"]
