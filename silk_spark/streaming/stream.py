@@ -45,12 +45,18 @@ def stream_changelog(
     stream_checkpoint_dir: str,
     max_files_per_trigger: int = 8,
     trigger_available_now: bool = True,
+    pre_merge=None,
 ) -> StreamingQuery:
     """Tail new changelog parquet files and MERGE each micro-batch.
 
     `trigger_available_now=True` drains everything currently in the
     directory and stops (batch-style catch-up); False → continuous
     tail with the default processing-time trigger.
+
+    `pre_merge` is the same optional DataFrame->DataFrame hook the
+    offset-driven loop takes (CdcPipeline) — e.g. the join-and-score
+    reconciliation (operators/reconcile.reconcile_near_dups) applied
+    to every streaming micro-batch before MERGE.
     """
     src = (
         spark.readStream.schema(changelog_schema())
@@ -64,6 +70,8 @@ def stream_changelog(
         bounds = batch_df.agg(
             F.min("lsn").alias("lo"), F.max("lsn").alias("hi")
         ).first()
+        if pre_merge is not None:
+            batch_df = pre_merge(batch_df)
         summary = table.merge_batch(project_changes(batch_df), f"stream-{batch_id}")
         if not summary.get("skipped"):
             checkpoints.write(
