@@ -143,7 +143,14 @@ def entity_table(
     a broadcast semi-join when the restricted set is small (AQE)."""
     t = triples
     if type_uri is not None:
-        t = t.join(F.broadcast(restricted_subjects(t, type_uri)), "subject")
+        # LEFT SEMI against the (broadcast) type triples: no distinct
+        # needed — semi-join semantics dedup for free, so the
+        # restriction costs zero exchanges (restricted_subjects'
+        # distinct() would shuffle before the broadcast)
+        matching = triples.filter(
+            (F.col("predicate") == RDF_TYPE) & (F.col("object") == type_uri)
+        ).select("subject")
+        t = t.join(F.broadcast(matching), "subject", "left_semi")
     if predicates is None:
         predicates = sorted(
             r["predicate"]

@@ -94,3 +94,83 @@ def test_blocked_join_is_shuffle_hash_or_smj_on_block(spark):
     pairs = candidate_pairs(left, right, qgram_blocks(F.col("name")), qgram_blocks(F.col("name")))
     plan = plan_of(pairs)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_stringmap_plan_has_no_python(spark):
+    """The north rule bans per-row Python in the hot path: the whole
+    StringMap candidate plan (coordinates included) must contain no
+    Python evaluation node of any kind."""
+    from silk_spark.operators.stringmap import stringmap_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"name {i % 9} variant {i}") for i in range(60)], "id int, name string"
+    )
+    plan = plan_of(stringmap_candidate_pairs(df, df, "name", "name"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert node not in plan, f"per-row Python ({node}) in stringmap plan"
+
+
+def test_rdf_entity_pivot_is_single_shuffle(spark, tmp_path_factory):
+    """Triple scan -> restricted pivot must cost ONE exchange of the
+    (restricted) triples; the rdf:type restriction joins broadcast."""
+    import os as _os
+
+    from silk_spark.sources.rdf import RDF_TYPE, entity_table, ntriples
+
+    d = str(tmp_path_factory.mktemp("rdfplan"))
+    p = _os.path.join(d, "g.nt")
+    with open(p, "w") as f:
+        for i in range(50):
+            f.write(f"<urn:e:{i}> <{RDF_TYPE}> <urn:T:X> .\n")
+            f.write(f'<urn:e:{i}> <urn:v:name> "n{i}" .\n')
+    ent = entity_table(
+        ntriples(spark, p), predicates=["urn:v:name"], type_uri="urn:T:X"
+    )
+    plan = plan_of(ent)
+    # one aggregate exchange (hashpartitioning on the subject) plus the
+    # broadcast for the restriction semi-join; no second hash exchange
+    assert plan.count("Arguments: hashpartitioning") == 1
+    assert "BroadcastExchange" in plan
+
+
+def test_minhash_arrow_plan_is_one_arrow_eval_no_exchange(spark):
+    """The Arrow signature kernel must appear as ONE ArrowEvalPython
+    over the scan with no exchange before it (zero-shuffle signatures,
+    arithmetic crosses to numpy once)."""
+    from silk_spark.operators.dedup_suite import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(i, f"alpha beta gamma {i} delta epsilon") for i in range(40)],
+        "doc_id int, text string",
+    )
+    spark.conf.set("spark.silk.signatures.impl", "arrow")
+    try:
+        plan = plan_of(minhash_signatures(df, num_perm=16))
+    finally:
+        spark.conf.unset("spark.silk.signatures.impl")
+    # formatted explain names each node twice (tree + detail section)
+    assert plan.count("ArrowEvalPython") == 2
+    # no hash exchange anywhere (the only allowed exchange is
+    # _parallel's round-robin widening of the narrow in-memory source)
+    assert "Arguments: hashpartitioning" not in plan
+
+
+def test_ivf_broadcast_assignment_has_no_giant_codegen(spark):
+    """Above the inline-literal budget, centroid assignment must plan
+    as a broadcast join + HOF argmax — constant-size generated code,
+    one BroadcastExchange, no shuffle of the corpus."""
+    import silk_spark.operators.similarity as sim
+
+    df = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 13) for j in range(16)]) for i in range(50)],
+        "vec_id int, embedding array<double>",
+    )
+    cents = [(c, [float(c + j) for j in range(16)]) for c in range(4)]
+    old = sim.INLINE_CENTROID_FLOATS
+    sim.INLINE_CENTROID_FLOATS = 1
+    try:
+        plan = plan_of(sim.assign_nearest_centroid(df, F.col("embedding"), cents))
+    finally:
+        sim.INLINE_CENTROID_FLOATS = old
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "Arguments: hashpartitioning" not in plan
