@@ -292,7 +292,14 @@ def q_cdc_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         _ev_op().alias("op"),
     )
     root = tempfile.mkdtemp(prefix="silk_spark_evo_")
-    table = create_transcripts_table(spark, os.path.join(root, "t"), n_buckets=8)
+    # MOR: the evolution being exercised is the registry + column-ID
+    # mapped scan, which MOR stresses HARDER than COW (pre-cut delta
+    # files lacking `tool` stay in the manifest forever and must be
+    # read with their written schema) — and each batch commit is an
+    # O(batch) append instead of a bucket rewrite
+    table = create_transcripts_table(
+        spark, os.path.join(root, "t"), n_buckets=8, merge_mode="mor"
+    )
     ckpt = CheckpointStore(os.path.join(root, "cp"))
     v1 = log.filter(F.col("lsn") < cut).drop("tool")
     v2 = log.filter(F.col("lsn") >= cut)
