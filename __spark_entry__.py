@@ -205,6 +205,45 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_learn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supervised threshold calibration (the distributed slice of the
+    reference's learning stack, LearningActivity.scala; metric
+    definitions EvaluationResult.scala:36-64): nation-blocked supplier
+    name pairs, distance = levenshtein, label = same account-balance
+    sign; one narrow shuffle + a window over the (tiny) cut axis
+    yields per-cut precision/recall/F1/MCC. The oracle recomputes the
+    identical sweep in SQL."""
+    from silk_spark.operators.learning import threshold_sweep
+
+    sup = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    l = sup.select(
+        F.col("s_suppkey").alias("lk"), F.col("s_name").alias("ln"),
+        F.col("s_nationkey").alias("n"), F.col("s_acctbal").alias("lb"),
+    )
+    r = sup.select(
+        F.col("s_suppkey").alias("rk"), F.col("s_name").alias("rn"),
+        F.col("s_nationkey").alias("n"), F.col("s_acctbal").alias("rb"),
+    )
+    pairs = (
+        l.join(r, "n")
+        .filter(F.col("lk") < F.col("rk"))
+        .select(
+            F.levenshtein("ln", "rn").alias("distance"),
+            ((F.col("lb") > 0) == (F.col("rb") > 0)).alias("is_match"),
+        )
+    )
+    sweep = threshold_sweep(pairs)
+    return sweep.select(
+        "cut", "tp", "fp", "fn", "tn",
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+        F.round("mcc", 6).alias("mcc"),
+    )
+
+
 def q_rdf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF source end to end (silk-plugins-rdf SimpleEntityRetriever
     semantics over a file graph): customer + nation rows are
@@ -920,6 +959,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_qgram_blocked": q_link_qgram_blocked,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "rdf_entities": q_rdf_entities,
+        "learn_threshold": q_learn_threshold,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1203,6 +1243,42 @@ WITH r AS (
 SELECT user_id, event_type, event_id AS last_event_id,
        round(value, 2) AS last_value, ts_str AS last_ts
 FROM r WHERE rn = 1
+""",
+        "learn_threshold": """
+WITH p AS (
+  SELECT levenshtein(l.s_name, r.s_name) AS cut,
+         CASE WHEN (l.s_acctbal > 0) = (r.s_acctbal > 0) THEN 1 ELSE 0 END AS y
+  FROM supplier l JOIN supplier r
+    ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
+), g AS (
+  SELECT cut, SUM(y) AS pos, COUNT(*) - SUM(y) AS neg FROM p GROUP BY cut
+), c AS (
+  SELECT cut,
+         SUM(pos) OVER (ORDER BY cut) AS tp,
+         SUM(neg) OVER (ORDER BY cut) AS fp,
+         (SELECT SUM(pos) FROM g) AS tot_pos,
+         (SELECT SUM(neg) FROM g) AS tot_neg
+  FROM g
+), m AS (
+  SELECT cut, tp, fp, tot_pos - tp AS fn, tot_neg - fp AS tn,
+         tp::DOUBLE AS tpd, fp::DOUBLE AS fpd,
+         (tot_pos - tp)::DOUBLE AS fnd, (tot_neg - fp)::DOUBLE AS tnd
+  FROM c
+), k AS (
+  SELECT cut, tp, fp, fn, tn,
+         CASE WHEN tpd + fpd > 0 THEN tpd / (tpd + fpd) ELSE 0.0 END AS prec,
+         CASE WHEN tpd + fnd > 0 THEN tpd / (tpd + fnd) ELSE 0.0 END AS rec,
+         CASE WHEN sqrt((tpd+fpd)*(tpd+fnd)*(tnd+fpd)*(tnd+fnd)) > 0
+              THEN (tpd*tnd - fpd*fnd) / sqrt((tpd+fpd)*(tpd+fnd)*(tnd+fpd)*(tnd+fnd))
+              ELSE 0.0 END AS mcc_raw
+  FROM m
+)
+SELECT cut, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS tn,
+       round(prec, 6) AS precision,
+       round(rec, 6) AS recall,
+       round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1,
+       round(mcc_raw, 6) AS mcc
+FROM k
 """,
         "rdf_entities": """
 SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,

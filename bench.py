@@ -254,6 +254,7 @@ BENCH_QUERIES = [
     "cdc_snapshot_diff",
     "cdc_schema_evolution",
     "rdf_entities",
+    "learn_threshold",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",

