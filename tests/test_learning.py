@@ -65,3 +65,32 @@ class TestThresholdLearning:
         rows = {r["cut"]: r for r in threshold_sweep(df).collect()}
         assert rows[1]["mcc"] == 0.0
         assert rows[5]["tp"] == 2 and rows[5]["tn"] == 0
+
+
+class TestSweepPropertyParity:
+    def test_matches_pure_python_reference_on_random_inputs(self, spark):
+        """The distributed sweep must agree with a brute-force local
+        reference on arbitrary labeled multisets (hypothesis-style
+        seeded random cases; fixed seeds keep the suite deterministic)."""
+        for seed in (1, 7, 23, 99):
+            rng = random.Random(seed)
+            rows = [
+                (rng.randint(0, 8), rng.random() < 0.4) for _ in range(rng.randint(1, 300))
+            ]
+            df = spark.createDataFrame(rows, "distance int, is_match boolean")
+            got = {r["cut"]: r for r in threshold_sweep(df).collect()}
+
+            cuts = sorted({d for d, _ in rows})
+            tot_pos = sum(1 for _, y in rows if y)
+            tot_neg = len(rows) - tot_pos
+            for cut in cuts:
+                tp = sum(1 for d, y in rows if d <= cut and y)
+                fp = sum(1 for d, y in rows if d <= cut and not y)
+                r = got[cut]
+                assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (
+                    tp, fp, tot_pos - tp, tot_neg - fp
+                ), (seed, cut)
+                p = tp / (tp + fp) if tp + fp else 0.0
+                rec = tp / tot_pos if tot_pos else 0.0
+                assert abs(r["precision"] - p) < 1e-12
+                assert abs(r["recall"] - rec) < 1e-12

@@ -120,3 +120,43 @@ class TestLinkSink:
             ("urn:p:1", OWL_SAME_AS, "urn:q:9"),
             ("urn:p:2", OWL_SAME_AS, "urn:q:8"),
         }
+
+
+class TestEscapeRoundTrip:
+    def test_random_literals_round_trip(self, spark, tmp_path):
+        """Serialize random literals with the standard N-Triples escape
+        map, parse them back, and require exact value equality —
+        covers quotes, backslashes, tabs, newlines, and their
+        adversarial combinations (e.g. backslash-then-n as two chars)."""
+        import random as _random
+
+        rng = _random.Random(11)
+        alphabet = list("abc XYZ 019 .,:;!?") + ['"', "\\", "\n", "\t", "\r"]
+        originals = {}
+        lines = []
+        for i in range(200):
+            s = "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 24)))
+            originals[f"urn:d:{i}"] = s
+            esc = (
+                s.replace("\\", "\\\\")
+                .replace('"', '\\"')
+                .replace("\n", "\\n")
+                .replace("\r", "\\r")
+                .replace("\t", "\\t")
+            )
+            lines.append(f'<urn:d:{i}> <urn:v:text> "{esc}" .')
+        # adversarial fixed case: literal backslash followed by letter n
+        originals["urn:d:adv"] = "a\\nb"  # 4 chars: a, backslash, n, b
+        lines.append('<urn:d:adv> <urn:v:text> "a\\\\nb" .')
+        p = str(tmp_path / "esc.nt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        got = {
+            r.subject: r.object
+            for r in ntriples(spark, p).collect()
+        }
+        # newline-bearing literals span lines in the FILE and are
+        # legitimately unparseable in line-oriented N-Triples — the
+        # writer above still emits them escaped on one line, so they
+        # must round-trip; nothing else may be dropped
+        assert got == originals
