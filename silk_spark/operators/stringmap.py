@@ -201,7 +201,9 @@ def fastmap_coordinates_expr(model: FastMapModel, col: Column) -> Column:
     dims = len(model.pivots_a)
     # pivot strings / coords / dab as ARRAY LITERALS (constant-folded
     # to one Literal each by the optimizer): each fold step below does
-    # its own element_at lookups + exactly TWO levenshtein calls. The
+    # its own element_at lookups + two levenshtein expressions (each
+    # referenced twice in `lev*lev`, so up to 4 evaluations per step
+    # in interpreted mode — constant in dim, which is the point). The
     # obvious alternative — precomputing la = array(levenshtein(col,
     # pivot_0), ...) outside and element_at-ing it inside the lambda —
     # embeds the whole 2×dim-levenshtein array constructor into the
