@@ -134,3 +134,58 @@ class TestReplayProperties:
             want[["conv_id", "turn_idx", "lsn", "op", "text"]],
             check_dtype=False,
         )
+
+
+@pytest.mark.usefixtures("spark")
+class TestCrashResumeProperty:
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        events=_LOG,
+        mode=st.sampled_from(["cow", "mor"]),
+        stop_after=st.integers(0, 5),
+        dup_tail=st.booleans(),
+    )
+    def test_crash_resume_any_point_matches_oracle(
+        self, spark, events, mode, stop_after, dup_tail
+    ):
+        """Crash after an ARBITRARY number of batches, resume with a
+        FRESH pipeline + table handle (checkpoint-driven), optionally
+        replay a duplicate tail on top (at-least-once upstream): the
+        final state must equal the single-pass oracle and the
+        duplicate tail must be skipped batch-for-batch."""
+        import os
+
+        pdf = _log_pdf(events)
+        n = len(events)
+        batch_size = max(1, n // 4)
+        log_df = _log_df(spark, pdf)
+        root = tempfile.mkdtemp(prefix="silk_prop_cr_")
+        try:
+            table = create_transcripts_table(
+                spark, os.path.join(root, "t"), n_buckets=4, merge_mode=mode
+            )
+            cp = CheckpointStore(os.path.join(root, "cp"))
+            CdcPipeline(spark, table, cp, changelog=log_df).run(
+                end_lsn=n, batch_size=batch_size, stop_after=stop_after or None
+            )
+            # fresh handles: resume must come from the checkpoint alone
+            from silk_spark.sources.lake import LakeTable
+
+            t2 = LakeTable(spark, os.path.join(root, "t"))
+            CdcPipeline(spark, t2, cp, changelog=log_df).run(
+                end_lsn=n, batch_size=batch_size
+            )
+            if dup_tail:
+                dup = CdcPipeline(spark, t2.refresh(), cp, changelog=log_df).run(
+                    end_lsn=n, batch_size=batch_size, start_lsn=0
+                )
+                assert all(r.get("skipped") for r in dup)
+            got = normalize(t2.refresh().read().toPandas())
+            want = final_state_oracle(pdf)
+            pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
