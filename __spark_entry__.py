@@ -1475,6 +1475,7 @@ WITH RECURSIVE
 d AS (
   SELECT doc_id, {_SHINGLES3_SQL} AS sh
   FROM (SELECT doc_id, {_WORDS_SQL} AS w FROM documents)
+  WHERE len(w) > 0  -- no-content guard, mirrors dedup_suite._content_guard
 ),
 p AS (
   SELECT l.doc_id AS a, r.doc_id AS b

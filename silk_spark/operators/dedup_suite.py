@@ -44,8 +44,13 @@ def _parallel(df: DataFrame) -> DataFrame:
     conversion per operator call. File count lower-bounds partition
     count (maxPartitionBytes only ever splits files further), so a
     100 TB scan with thousands of files passes through untouched with
-    no exchange; a non-file source (in-memory test frames) reports no
-    files and gets widened, which is the right call there too."""
+    no exchange — and because splitting exists, file count is only a
+    LOWER bound: a table of few multi-GB splittable files already
+    scans wide, so the exchange is also skipped whenever total input
+    bytes / maxPartitionBytes >= target (local-filesystem sizes are a
+    driver-side stat; non-local URIs fall back to the file count). A
+    non-file source (in-memory test frames) reports no files and gets
+    widened, which is the right call there too."""
     try:
         target = int(df.sparkSession.conf.get("spark.silk.scan.minParallelism", "0"))
     except ValueError:
@@ -58,10 +63,42 @@ def _parallel(df: DataFrame) -> DataFrame:
         files = []
     if len(files) >= target:
         return df
+    if files:
+        try:
+            import os
+            from urllib.parse import urlparse
+
+            paths = [urlparse(f).path for f in files if f.startswith(("file:", "/"))]
+            if len(paths) == len(files):  # all local — sizes are knowable
+                total = sum(os.path.getsize(p) for p in paths)
+                mpb = int(
+                    df.sparkSession.conf.get(
+                        "spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024)
+                    ).rstrip("b")
+                )
+                if total // max(mpb, 1) >= target:
+                    return df
+        except Exception:
+            pass  # unreadable size metadata -> conservative widen below
     return df.repartition(target)
 
 
-_PERSISTED: "list[DataFrame]" = []
+import threading
+
+# persisted-frame registry, keyed PER SparkSession: a module-global
+# list shared across sessions/threads would let release_persisted()
+# from one job unpersist shingle frames another in-flight job still
+# reuses (correct but a silent recompute cliff), and concurrent
+# operator invocations would race append/pop. Keying by session and
+# guarding mutation with a lock scopes release to the caller's own
+# session.
+_PERSISTED: "dict[int, list[DataFrame]]" = {}
+_PERSISTED_LOCK = threading.Lock()
+
+
+def _session_key(df_or_spark) -> int:
+    spark = getattr(df_or_spark, "sparkSession", df_or_spark)
+    return id(spark)
 
 
 def _persist(df: DataFrame) -> DataFrame:
@@ -73,18 +110,27 @@ def _persist(df: DataFrame) -> DataFrame:
     Callers release them all via release_persisted() once the
     operator's output is materialized."""
     df = df.persist()
-    _PERSISTED.append(df)
+    with _PERSISTED_LOCK:
+        _PERSISTED.setdefault(_session_key(df), []).append(df)
     return df
 
 
-def release_persisted() -> int:
-    """Unpersist every shingle frame cached by the pair operators;
-    returns how many were released. Safe any time — a released frame
-    is recomputed (not broken) if its plan is re-executed."""
+def release_persisted(spark=None) -> int:
+    """Unpersist every shingle frame cached by the pair operators —
+    scoped to `spark`'s session when given, else all sessions (the
+    single-session bench/test path). Returns how many were released.
+    Safe any time — a released frame is recomputed (not broken) if
+    its plan is re-executed."""
+    with _PERSISTED_LOCK:
+        if spark is None:
+            frames = [f for lst in _PERSISTED.values() for f in lst]
+            _PERSISTED.clear()
+        else:
+            frames = _PERSISTED.pop(_session_key(spark), [])
     n = 0
-    while _PERSISTED:
+    for f in frames:
         try:
-            _PERSISTED.pop().unpersist()
+            f.unpersist()
             n += 1
         except Exception:
             pass

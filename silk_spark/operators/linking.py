@@ -134,11 +134,26 @@ def _materialize_with_timeout(df: DataFrame, timeout_sec: float) -> DataFrame:
     can run its whole partition before dying. Plan matching with many
     moderate tasks (the blocking methods in operators/blocking.py do
     exactly this), not one giant partition."""
+    import os
     import threading
     import uuid
 
     spark = df.sparkSession
     sc = spark.sparkContext
+    # Job-group thread-locality REQUIRES pinned-thread mode (the
+    # default since Spark 3.2): with PYSPARK_PIN_THREAD=false every
+    # Python thread shares one JVM-side thread-local, so the group set
+    # below would leak to concurrent jobs and cancelJobGroup could
+    # kill unrelated work in the same SparkContext. Fail loudly rather
+    # than cancel someone else's job. (Classic py4j sessions only —
+    # Spark Connect has no pinning concept and scopes tags per client.)
+    pinned = os.environ.get("PYSPARK_PIN_THREAD", "true").lower() != "false"
+    if not pinned and hasattr(sc, "setJobGroup"):
+        raise RuntimeError(
+            "generate_links(timeout_sec=...) needs pinned-thread mode "
+            "(PYSPARK_PIN_THREAD != false): job-group cancellation from a "
+            "helper thread is only safe when job groups are thread-local"
+        )
     group = f"silk-match-{uuid.uuid4().hex[:8]}"
     result: dict = {}
 

@@ -40,6 +40,8 @@ from pyspark.sql import functions as F
 RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 OWL_SAME_AS = "http://www.w3.org/2002/07/owl#sameAs"
 
+_OBS_SEQ = 0  # per-call suffix for observe() metric names (unique per query)
+
 # one triple line: subject (uri | blank), predicate (uri), object
 # (uri | blank | literal with optional @lang / ^^datatype), dot.
 _NT_LINE = (
@@ -54,28 +56,95 @@ def _strip_uri(c: Column) -> Column:
     return F.regexp_replace(c, r"^<|>$", "")
 
 
+def _expand_uchar(x: Column) -> Column:
+    """Expand N-Triples UCHAR escapes (\\uXXXX, \\UXXXXXXXX) to their
+    characters — pure JVM expressions: split on a lookahead so each
+    escape heads its own segment, then per segment unhex the code
+    units through decode(…,'UTF-16BE'). Supplementary code points
+    (\\U…) are converted to a surrogate pair with integer arithmetic.
+    Segments that don't match a full escape pass through verbatim
+    (the caller already resolved \\\\, so no false positives). Must
+    run AFTER the backslash-pair placeholder pass."""
+    segs = F.split(x, r"(?=\\[uU])")
+
+    def fix(seg: Column) -> Column:
+        rest_u4 = F.substring(seg, F.lit(7), F.length(seg))
+        rest_u8 = F.substring(seg, F.lit(11), F.length(seg))
+        bmp_char = F.decode(F.unhex(F.substring(seg, 3, 4)), "UTF-16BE")
+        cp = F.conv(F.substring(seg, 3, 8), 16, 10).cast("bigint")
+        high = F.lit(0xD800) + F.shiftright(cp - F.lit(0x10000), 10)
+        low = F.lit(0xDC00) + (cp - F.lit(0x10000)).bitwiseAND(F.lit(0x3FF))
+        sup_char = F.decode(
+            F.unhex(
+                F.concat(F.lpad(F.hex(high), 4, "0"), F.lpad(F.hex(low), 4, "0"))
+            ),
+            "UTF-16BE",
+        )
+        u8_char = F.when(
+            cp < 0x10000, F.decode(F.unhex(F.lpad(F.hex(cp), 4, "0")), "UTF-16BE")
+        ).otherwise(sup_char)
+        return (
+            F.when(seg.rlike(r"^\\u[0-9A-Fa-f]{4}"), F.concat(bmp_char, rest_u4))
+            .when(seg.rlike(r"^\\U[0-9A-Fa-f]{8}"), F.concat(u8_char, rest_u8))
+            .otherwise(seg)
+        )
+
+    return F.array_join(F.transform(segs, fix), "")
+
+
 def _unescape_literal(c: Column) -> Column:
-    """N-Triples string unescape for the common escapes (\\" \\\\ \\n
-    \\r \\t). Order matters: backslash pairs are resolved last via a
-    placeholder so `\\\\n` round-trips to `\\n` (backslash + n), not a
-    newline."""
+    """N-Triples string unescape: ECHAR (\\" \\\\ \\n \\r \\t) plus the
+    spec's UCHAR unicode escapes (\\uXXXX / \\UXXXXXXXX). Order
+    matters: backslash pairs are resolved FIRST via a placeholder so
+    `\\\\n` round-trips to `\\n` (backslash + n), not a newline, and
+    `\\\\u0041` stays a literal `\\u0041`."""
     x = F.regexp_replace(c, r"\\\\", "\x00")
     x = F.regexp_replace(x, r'\\"', '"')
     x = F.regexp_replace(x, r"\\n", "\n")
     x = F.regexp_replace(x, r"\\r", "\r")
     x = F.regexp_replace(x, r"\\t", "\t")
+    x = _expand_uchar(x)
     return F.regexp_replace(x, "\x00", r"\\")
 
 
-def ntriples(spark: SparkSession, path: str) -> DataFrame:
+def ntriples(spark: SparkSession, path: str, strict: bool = False) -> DataFrame:
     """Parse an N-Triples file (or directory / glob of them) into a
     triples frame: (subject, predicate, object, is_literal, lang,
-    datatype). Comment and blank lines are dropped; malformed lines
-    are dropped too (N-Triples is line-delimited, so one bad line
-    never poisons a split). Entirely built-in regexp expressions —
-    one codegen projection over the text scan."""
+    datatype). Comment and blank lines are dropped. Malformed lines
+    (non-blank, non-comment, not matching the triple grammar) are
+    NOT silently lost: with strict=True any such line fails the job
+    with the offending text in the error; with the default
+    strict=False they are dropped but COUNTED — the count rides the
+    plan as an `observe` metric named "silk.ntriples.<n>" (suffix
+    unique per call: Spark requires metric names unique per query)
+    with fields malformed_lines / parsed_lines, readable from any
+    QueryExecutionListener, so escaping/grammar gaps surface as a
+    metric instead of silent data loss. Entirely built-in regexp
+    expressions — one codegen projection over the text scan."""
     raw = spark.read.text(path)
     line = F.col("value")
+    content = ~line.rlike(r"^\s*(#.*)?$")  # non-blank, non-comment
+    matched = (
+        (F.regexp_extract(line, _NT_LINE, 1) != "")
+        & (F.regexp_extract(line, _NT_LINE, 2) != "")
+        & (F.regexp_extract(line, _NT_LINE, 3) != "")
+    )
+    if strict:
+        raw = raw.withColumn(
+            "value",
+            F.when(
+                content & ~matched,
+                F.raise_error(F.concat(F.lit("malformed N-Triples line: "), line)),
+            ).otherwise(line),
+        )
+    else:
+        global _OBS_SEQ
+        _OBS_SEQ += 1
+        raw = raw.observe(
+            f"silk.ntriples.{_OBS_SEQ}",
+            F.sum((content & ~matched).cast("long")).alias("malformed_lines"),
+            F.sum(matched.cast("long")).alias("parsed_lines"),
+        )
     parsed = raw.select(
         F.regexp_extract(line, _NT_LINE, 1).alias("_s"),
         F.regexp_extract(line, _NT_LINE, 2).alias("_p"),
@@ -131,16 +200,22 @@ def entity_table(
     predicates: list[str] | None = None,
     type_uri: str | None = None,
     uri_col: str = "_uri",
+    max_predicates: int = 1000,
 ) -> DataFrame:
     """Pivot triples to one row per subject with an array<string>
     column per predicate (multi-valued, Silk Seq[String] cells),
     named by the predicate's local name. `predicates` bounds the
     schema explicitly (recommended — Silk's EntitySchema always
     enumerates its typed paths); when omitted, the distinct predicate
-    set is collected (one small aggregate; RDF vocabularies are tiny
-    relative to the data). `type_uri` restricts subjects first, so
-    the pivot shuffle carries only the restricted entities' triples —
-    a broadcast semi-join when the restricted set is small (AQE)."""
+    set is collected (one small aggregate; real RDF vocabularies are
+    tiny relative to the data) — but CAPPED at `max_predicates`: an
+    adversarial graph with millions of distinct predicates would
+    otherwise OOM the driver and explode the schema, so exceeding the
+    cap raises a clear error pointing at an explicit `predicates`
+    list or `entity_map_table` (schema-free). `type_uri` restricts
+    subjects first, so the pivot shuffle carries only the restricted
+    entities' triples — a broadcast semi-join when the restricted set
+    is small (AQE)."""
     t = triples
     if type_uri is not None:
         # LEFT SEMI against the (broadcast) type triples: no distinct
@@ -152,11 +227,23 @@ def entity_table(
         ).select("subject")
         t = t.join(F.broadcast(matching), "subject", "left_semi")
     if predicates is None:
-        predicates = sorted(
-            r["predicate"]
-            for r in t.select("predicate").distinct().collect()
-            if r["predicate"] != RDF_TYPE
+        # limit(cap+1) bounds what can ever reach the driver — the
+        # failure mode for a huge vocabulary is this error, not an OOM
+        rows = (
+            t.filter(F.col("predicate") != RDF_TYPE)
+            .select("predicate")
+            .distinct()
+            .limit(max_predicates + 1)
+            .collect()
         )
+        if len(rows) > max_predicates:
+            raise ValueError(
+                f"entity_table: > {max_predicates} distinct predicates — one "
+                "column per predicate would explode the schema. Pass an "
+                "explicit `predicates` list, raise `max_predicates`, or use "
+                "entity_map_table() (map<string,array<string>>, schema-free)."
+            )
+        predicates = sorted(r["predicate"] for r in rows)
     names = {}
     for p in predicates:
         n = local_name(p)
@@ -173,6 +260,39 @@ def entity_table(
         uri_col, *[F.col(f"`{p}`").alias(n) for n, p in names.items()]
     )
     return renamed
+
+
+def entity_map_table(
+    triples: DataFrame,
+    type_uri: str | None = None,
+    uri_col: str = "_uri",
+) -> DataFrame:
+    """Schema-free sibling of entity_table for unbounded vocabularies:
+    one row per subject with a `props: map<string, array<string>>`
+    column keyed by FULL predicate URI. No driver-side vocabulary
+    collection, no per-predicate columns — the safe shape when the
+    distinct-predicate set is unknown or adversarial. Same single
+    shuffle: groupBy(subject, predicate) partial-aggregates map-side,
+    then one groupBy(subject) assembles the map."""
+    t = triples
+    if type_uri is not None:
+        matching = t.filter(
+            (F.col("predicate") == RDF_TYPE) & (F.col("object") == type_uri)
+        ).select("subject")
+        t = t.join(F.broadcast(matching), "subject", "left_semi")
+    per_pred = (
+        t.filter(F.col("predicate") != RDF_TYPE)
+        .groupBy("subject", "predicate")
+        .agg(F.array_sort(F.collect_list("object")).alias("_vals"))
+    )
+    return (
+        per_pred.groupBy(F.col("subject").alias(uri_col))
+        .agg(
+            F.map_from_entries(
+                F.array_sort(F.collect_list(F.struct("predicate", "_vals")))
+            ).alias("props")
+        )
+    )
 
 
 def write_links_ntriples(

@@ -235,12 +235,30 @@ class TestContentGuardAndRelease:
         before = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         ds.ngram_jaccard_pairs(df, threshold=0.5).count()
         ds.minhash_lsh_pairs(df, threshold=0.5).count()
-        assert len(ds._PERSISTED) >= 2
-        released = ds.release_persisted()
+        # registry is keyed per SparkSession (one session here)
+        assert sum(len(v) for v in ds._PERSISTED.values()) >= 2
+        released = ds.release_persisted(spark)  # session-scoped release
         assert released >= 2
         assert not ds._PERSISTED
         after = set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
         assert after <= before, f"leaked persisted RDDs: {after - before}"
+
+    def test_release_persisted_scoped_to_session(self, spark):
+        """release_persisted(other_session) must not unpersist frames a
+        different session's in-flight jobs still reuse."""
+        from silk_spark.operators import dedup_suite as ds
+
+        df = spark.createDataFrame(
+            [(i, f"alpha beta gamma delta {i}") for i in range(5)],
+            "doc_id int, text string",
+        )
+        ds.release_persisted()
+        ds.ngram_jaccard_pairs(df, threshold=0.5).count()
+        assert sum(len(v) for v in ds._PERSISTED.values()) >= 1
+        sentinel = object()  # a "different session" key
+        assert ds.release_persisted(sentinel) == 0
+        assert sum(len(v) for v in ds._PERSISTED.values()) >= 1  # untouched
+        assert ds.release_persisted(spark) >= 1
 
     def test_arrow_and_jvm_signatures_bit_identical(self, spark):
         """The Arrow numpy kernel and the JVM HOF expressions must

@@ -122,6 +122,62 @@ class TestLinkSink:
         }
 
 
+class TestUcharAndMalformed:
+    def test_uchar_unicode_escapes(self, spark, tmp_path):
+        """Spec UCHAR escapes (\\uXXXX and \\UXXXXXXXX incl.
+        supplementary planes) must decode to characters; an ESCAPED
+        backslash before u must stay verbatim; a non-hex \\u sequence
+        passes through rather than corrupting the literal."""
+        lines = [
+            '<urn:u:1> <urn:v:t> "Caf\\u00E9" .',
+            '<urn:u:2> <urn:v:t> "\\U0001F600 grin" .',
+            '<urn:u:3> <urn:v:t> "lit \\\\u0041 kept" .',
+            '<urn:u:4> <urn:v:t> "bad \\uZZZZ kept" .',
+            '<urn:u:5> <urn:v:t> "\\u0041\\u0042\\u0043" .',
+        ]
+        p = str(tmp_path / "uchar.nt")
+        with open(p, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        got = {r.subject: r.object for r in ntriples(spark, p).collect()}
+        assert got["urn:u:1"] == "Café"
+        assert got["urn:u:2"] == "\U0001F600 grin"
+        assert got["urn:u:3"] == "lit \\u0041 kept"
+        assert got["urn:u:4"] == "bad \\uZZZZ kept"
+        assert got["urn:u:5"] == "ABC"
+
+    def test_strict_mode_raises_on_malformed(self, spark, nt_path):
+        with pytest.raises(Exception, match="malformed N-Triples line"):
+            ntriples(spark, nt_path, strict=True).count()
+
+    def test_nonstrict_counts_dropped_lines_in_plan(self, spark, nt_path):
+        """Default mode attaches an observe() metric so dropped lines
+        are accounted, not silently lost."""
+        t = ntriples(spark, nt_path)
+        plan = t._jdf.queryExecution().analyzed().toString()
+        assert "silk.ntriples" in plan, plan
+        assert t.count() == 9  # parse result unchanged by the metric
+
+
+class TestPredicateCap:
+    def test_entity_table_caps_adversarial_vocabulary(self, spark):
+        from silk_spark.sources.rdf import entity_map_table
+
+        rows = [(f"urn:s:{i % 7}", f"urn:pred:{i}", f"v{i}", False, None, None)
+                for i in range(50)]
+        t = spark.createDataFrame(
+            rows,
+            "subject string, predicate string, object string, "
+            "is_literal boolean, lang string, datatype string",
+        )
+        with pytest.raises(ValueError, match="distinct predicates"):
+            entity_table(t, max_predicates=10)
+        # the schema-free map variant handles the same graph fine
+        m = {r["_uri"]: r["props"] for r in entity_map_table(t).collect()}
+        assert len(m) == 7
+        assert m["urn:s:0"]["urn:pred:0"] == ["v0"]
+        assert m["urn:s:0"]["urn:pred:49"] == ["v49"]
+
+
 class TestEscapeRoundTrip:
     def test_random_literals_round_trip(self, spark, tmp_path):
         """Serialize random literals with the standard N-Triples escape
