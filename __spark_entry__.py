@@ -244,6 +244,100 @@ def q_learn_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_workflow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Workflow DAG executed end to end (Workflow.scala:29-78 topo
+    order, LocalWorkflowExecutor.scala:34-150 node execution): a
+    4-node source → transform → link → aggregate pipeline over `part`,
+    wired through plans/workflow.py so data crosses node boundaries as
+    lazy DataFrames and Catalyst optimizes across the whole DAG. The
+    transform node applies catalog transformers (lowerCase∘trim), the
+    link node scores brand-blocked pairs with levenshtein ≤ 2, the
+    report node aggregates links per brand. The oracle recomputes the
+    identical composition in one SQL query."""
+    from silk_spark.functions.transformers import TRANSFORMERS
+    from silk_spark.plans.workflow import Workflow
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand")
+
+    def transform(ins):
+        df = ins["part"]
+        name = TRANSFORMERS["lowerCase"](TRANSFORMERS["trim"](F.col("p_name")))
+        return df.select("p_partkey", name.alias("name"), "p_brand")
+
+    def link(ins):
+        t = ins["transform"]
+        l = t.select(
+            F.col("p_partkey").alias("left_key"), F.col("name").alias("ln"),
+            F.col("p_brand").alias("brand"),
+        )
+        r = t.select(
+            F.col("p_partkey").alias("right_key"), F.col("name").alias("rn"),
+            F.col("p_brand").alias("brand"),
+        )
+        return (
+            l.join(r, "brand")
+            .filter(F.col("left_key") < F.col("right_key"))
+            .withColumn("lev", F.levenshtein("ln", "rn", 2))
+            .filter(F.col("lev") >= 0)
+            .select("brand", "left_key", "right_key", "lev")
+        )
+
+    def report(ins):
+        return (
+            ins["link"]
+            .groupBy("brand")
+            .agg(
+                F.count("*").alias("n_links"),
+                F.round(F.avg("lev"), 6).alias("avg_lev"),
+            )
+        )
+
+    wf = (
+        Workflow()
+        .dataset("part", part)
+        .add("transform", transform, ["part"])
+        .add("link", link, ["transform"])
+        .add("report", report, ["link"])
+    )
+    return wf.execute(["report"]).outputs["report"]
+
+
+def q_learn_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Active-learning link selection by uncertainty sampling
+    (EntropySelector.scala:29-41 argmax vote-entropy, batch top-k form;
+    confidence→probability mapping UniformSelector.scala:55): score
+    nation-blocked supplier name pairs with a graded confidence in
+    Silk's [-1,1], rank by binary entropy of p = conf·0.5 + 0.5, keep
+    the 100 most uncertain with deterministic key tie-breaks. The
+    top-k plans as TakeOrderedAndProject — no unpartitioned window."""
+    from silk_spark.operators.learning import select_uncertain
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    l = sup.select(
+        F.col("s_suppkey").alias("left_key"), F.col("s_name").alias("ln"),
+        F.col("s_nationkey").alias("n"),
+    )
+    r = sup.select(
+        F.col("s_suppkey").alias("right_key"), F.col("s_name").alias("rn"),
+        F.col("s_nationkey").alias("n"),
+    )
+    links = (
+        l.join(r, "n")
+        .filter(F.col("left_key") < F.col("right_key"))
+        .select(
+            "left_key",
+            "right_key",
+            (1.0 - F.levenshtein("ln", "rn") / F.lit(12.0)).alias("confidence"),
+        )
+    )
+    out = select_uncertain(links, k=100)
+    return out.select(
+        "left_key", "right_key",
+        F.round("confidence", 6).alias("confidence"),
+        "entropy",
+    )
+
+
 def q_rdf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF source end to end (silk-plugins-rdf SimpleEntityRetriever
     semantics over a file graph): customer + nation rows are
@@ -960,6 +1054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "rdf_entities": q_rdf_entities,
         "learn_threshold": q_learn_threshold,
+        "learn_select_uncertain": q_learn_select_uncertain,
+        "workflow_pipeline": q_workflow_pipeline,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1279,6 +1375,40 @@ SELECT cut, tp::BIGINT AS tp, fp::BIGINT AS fp, fn::BIGINT AS fn, tn::BIGINT AS 
        round(CASE WHEN prec + rec > 0 THEN 2 * prec * rec / (prec + rec) ELSE 0.0 END, 6) AS f1,
        round(mcc_raw, 6) AS mcc
 FROM k
+""",
+        "workflow_pipeline": """
+WITH t AS (
+  SELECT p_partkey, lower(trim(p_name)) AS name, p_brand FROM part
+), links AS (
+  SELECT l.p_brand AS brand, l.p_partkey AS left_key, r.p_partkey AS right_key,
+         levenshtein(l.name, r.name) AS lev
+  FROM t l JOIN t r ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+  WHERE levenshtein(l.name, r.name) <= 2
+)
+SELECT brand, count(*) AS n_links, round(avg(lev), 6) AS avg_lev
+FROM links GROUP BY brand
+""",
+        "learn_select_uncertain": """
+WITH links AS (
+  SELECT l.s_suppkey AS left_key, r.s_suppkey AS right_key,
+         1.0 - levenshtein(l.s_name, r.s_name) / 12.0 AS confidence
+  FROM supplier l JOIN supplier r
+    ON l.s_nationkey = r.s_nationkey AND l.s_suppkey < r.s_suppkey
+), scored AS (
+  SELECT left_key, right_key, confidence,
+         confidence * 0.5 + 0.5 AS p
+  FROM links
+), e AS (
+  SELECT left_key, right_key, confidence,
+         round(CASE WHEN p > 0.0 AND p < 1.0
+                    THEN (-p * ln(p) - (1 - p) * ln(1 - p)) / ln(2)
+                    ELSE 0.0 END, 6) AS entropy
+  FROM scored
+)
+SELECT left_key, right_key, round(confidence, 6) AS confidence, entropy
+FROM e
+ORDER BY entropy DESC, left_key ASC, right_key ASC
+LIMIT 100
 """,
         "rdf_entities": """
 SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,

@@ -123,6 +123,9 @@ EFF_EVENTS = int(
 )
 GUARANTEE_EVENTS = int(os.environ.get("SILK_BENCH_GUARANTEE_EVENTS", "6000000"))
 REPEATS = int(os.environ.get("SILK_BENCH_REPEATS", "2"))
+# dedup-throughput tier: the LLM-pipeline headline (minhash-LSH
+# end-to-end) measured at corpus scale, not sf0.1's 5k docs
+DEDUP_DOCS = int(os.environ.get("SILK_BENCH_DEDUP_DOCS", "10000000"))
 RUN_SCALING = os.environ.get("SILK_BENCH_SCALING", "1") != "0"
 DEADLINE = float(os.environ.get("SILK_BENCH_DEADLINE", "1500"))
 
@@ -253,15 +256,26 @@ BENCH_QUERIES = [
     "cdc_apply_events",
     "cdc_snapshot_diff",
     "cdc_schema_evolution",
+    "cdc_batch_lineage",
     "rdf_entities",
     "learn_threshold",
+    "learn_select_uncertain",
+    "workflow_pipeline",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",
+    "link_qgram_blocked",
     "link_stringmap",
+    "path_backward",
+    "filter_pushdown",
+    "transform_chain",
+    "transform_validate",
+    "measure_catalog",
+    "allen_relations",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "window_top_orders",
+    "events_sessionize",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -274,6 +288,8 @@ BENCH_QUERIES = [
     "ann_ivf_probe",
     "text_quality",
     "text_lang_id",
+    "text_token_count",
+    "text_fingerprint",
     "profile_stats",
     "media_features",
     "audio_features",
@@ -400,6 +416,142 @@ def merge_bench(
         ),
         "loadavg": _loadavg(),
     }
+
+
+_DOC_VOCAB = [
+    f"{a}{b}" for a in (
+        "data", "merge", "spark", "token", "model", "batch", "shard",
+        "query", "table", "event", "index", "block", "chunk", "score",
+        "hash", "join",
+    ) for b in ("er", "ing", "set", "ful")
+]  # 64 deterministic words
+
+
+def make_docs(n_docs: int, root: str) -> str:
+    """Synthesize an n-doc corpus (doc_id, text) deterministically —
+    ~18 words drawn from a 64-word vocabulary by xxhash64(id, pos), so
+    regeneration is bit-stable across runs and hosts. Every 37th doc
+    is a near-dup of its predecessor (same base words + one appended
+    token ⇒ shingle-Jaccard ≈ 0.85), giving LSH a real ~2.7% dup rate
+    to find rather than an all-unique corpus whose bucket join is
+    vacuously cheap. Pure Column expressions, no Python per row;
+    256 output files so a 32-core scan has 8 waves of parallelism."""
+    from pyspark.sql import functions as F
+
+    from silk_spark.session import get_spark
+
+    spark = get_spark(
+        "silk-bench-docgen", cpus=CPUS, shuffle_partitions=64,
+        extra_conf={"spark.local.dir": os.path.join(root, "scratch")},
+    )
+    docs_dir = os.path.join(root, "docs")
+    vocab = F.array(*[F.lit(w) for w in _DOC_VOCAB])
+    base = F.when(
+        (F.col("id") % 37 == 0) & (F.col("id") > 0), F.col("id") - 1
+    ).otherwise(F.col("id"))
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(18)),
+        lambda j: F.element_at(
+            vocab, (F.pmod(F.xxhash64(base, j), F.lit(64)) + 1).cast("int")
+        ),
+    )
+    text = F.concat_ws(" ", words)
+    text = F.when(
+        (F.col("id") % 37 == 0) & (F.col("id") > 0),
+        F.concat(text, F.lit(" resent")),
+    ).otherwise(text)
+    (
+        spark.range(0, n_docs, 1, 256)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+        .write.mode("overwrite")
+        .parquet(docs_dir)
+    )
+    spark.stop()
+    return docs_dir
+
+
+def dedup_bench(cpus: int, n_docs: int, docs_dir: str, root: str) -> dict:
+    """MinHash-LSH dedup throughput at corpus scale (pinned subprocess,
+    same discipline as merge_bench). Two timed phases so a mid-run
+    kill still yields evidence: (1) signatures only — the zero-shuffle
+    Arrow kernel, materialized through the noop sink, docs/sec printed
+    as a cumulative @D@ line; (2) the full pipeline end-to-end
+    (signatures → banded bucket join → exact-Jaccard verify → pair
+    count). Phase 2 recomputes signatures — that's the honest e2e
+    number, not phase 1 + a delta."""
+    from silk_spark.operators.dedup_suite import minhash_lsh_pairs, minhash_signatures, release_persisted
+    from silk_spark.session import get_spark
+
+    spark = get_spark(
+        f"silk-bench-dedup-{cpus}",
+        cpus=cpus,
+        shuffle_partitions=max(cpus * 2, 64),
+        extra_conf={"spark.local.dir": os.path.join(root, "scratch")},
+    )
+    docs = spark.read.parquet(docs_dir)
+    out = {"cpus": cpus, "docs": n_docs}
+    t0 = time.monotonic()
+    minhash_signatures(docs).write.format("noop").mode("overwrite").save()
+    out["sig_sec"] = round(time.monotonic() - t0, 3)
+    out["sig_docs_per_sec"] = round(n_docs / out["sig_sec"], 1)
+    out["loadavg_sig"] = _loadavg()
+    print("@D@" + json.dumps(out), flush=True)
+    t0 = time.monotonic()
+    pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
+    out["sec"] = round(time.monotonic() - t0, 3)
+    out["docs_per_sec"] = round(n_docs / out["sec"], 1)
+    out["pairs"] = int(pairs)
+    out["loadavg"] = _loadavg()
+    release_persisted()
+    spark.stop()
+    return out
+
+
+def _docs_subprocess(n_docs: int, timeout: float) -> str | None:
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix="silk_bench_docs_", dir=base)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        f"import sys; sys.path.insert(0, {repo!r}); import bench; "
+        f"print('@RESULT@' + bench.make_docs({n_docs}, root={root!r}))"
+    )
+    res, _stdout = _run_stage(code, pin_cpus=None, timeout=timeout, raw_result=True)
+    if res is None:
+        shutil.rmtree(root, ignore_errors=True)
+        return None
+    return res
+
+
+def _dedup_subprocess(
+    cpus: int, n_docs: int, docs_dir: str, timeout: float
+) -> dict | None:
+    """Pinned dedup run; on timeout, salvage the last @D@ line (the
+    completed signature phase) as a partial sample."""
+    import tempfile
+
+    base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+    root = tempfile.mkdtemp(prefix=f"silk_bench_dedup_{cpus}_", dir=base)
+    repo = os.path.dirname(os.path.abspath(__file__))
+    code = (
+        f"import json, sys; sys.path.insert(0, {repo!r}); import bench; "
+        f"print('@RESULT@' + json.dumps(bench.dedup_bench("
+        f"{cpus}, {n_docs}, {docs_dir!r}, root={root!r})))"
+    )
+    try:
+        res, stdout = _run_stage(code, pin_cpus=cpus, timeout=timeout)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    if res is not None:
+        return res
+    last = None
+    for line in stdout.splitlines():
+        if line.startswith("@D@"):
+            last = json.loads(line[len("@D@"):])
+    if last:
+        last["truncated"] = True
+    return last
 
 
 def query_bench(cpus: int, sf_dir: str, budget: float) -> None:
@@ -587,6 +739,7 @@ def main() -> None:
     # reconcile hook adds work per event, so its events/s must never
     # compete with (or be mistaken for) the plain-merge headline
     reconcile_samples: list[dict] = []
+    dedup_samples: list[dict] = []
     queries: dict[str, float] = {}
     skipped_queries: list[str] = []
     stages_done: list[str] = []
@@ -729,6 +882,12 @@ def main() -> None:
                 "samples": [s["events_per_sec"] for s in reconcile_samples],
                 "truncated": [bool(s.get("truncated")) for s in reconcile_samples],
             }
+        if dedup_samples:
+            # LLM-pipeline headline: minhash-LSH dedup at corpus scale
+            best_d = max(
+                dedup_samples, key=lambda s: s.get("docs_per_sec") or 0.0
+            )
+            result["dedup_throughput"] = best_d
         # ALWAYS print: a line with value=null still beats an empty
         # artifact, and the consumer takes the LAST parsable line.
         print(json.dumps(result), flush=True)
@@ -761,12 +920,23 @@ def main() -> None:
             }
             if "merge_with_reconcile" in result
             else None,
+            "dedup_throughput": {
+                k: result["dedup_throughput"].get(k)
+                for k in ("docs_per_sec", "docs", "pairs", "cpus", "sec")
+            }
+            if "dedup_throughput" in result
+            else None,
             "elapsed_sec": result["elapsed_sec"],
             "partial": not final,
         }
         if queries:
-            compact["queries"] = {k: round(v, 2) for k, v in queries.items()}
-            compact["total_query_sec"] = result["total_query_sec"]
+            # 1-decimal in the compact line only (full 3-decimal
+            # detail stays in the cumulative line above): with the
+            # complete 41-query regression axis, 2-decimal rendering
+            # could breach the ~1.9 KB driver tail window at worst
+            # case — pinned by tests/test_bench_artifact.py
+            compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+            compact["total_query_sec"] = round(result["total_query_sec"], 1)
         line = json.dumps(compact)
         if len(line) > 1900 and "queries" in compact:
             del compact["queries"]
@@ -801,6 +971,33 @@ def main() -> None:
         queries.update(_query_subprocess(big_cpus, timeout=qbudget, budget=qbudget - 45.0))
         skipped_queries.extend(q for q in BENCH_QUERIES if q not in queries)
         stages_done.append("queries")
+        emit()
+
+    def run_dedup() -> None:
+        # corpus-scale dedup headline: generation is setup (unpinned,
+        # budgeted, shared root cleaned by the parent), measurement is
+        # a pinned child with @D@ partial salvage
+        docs_dir = _docs_subprocess(
+            DEDUP_DOCS,
+            timeout=max(min(_remaining() - reserve, 0.2 * DEADLINE), 60.0),
+        )
+        if docs_dir is None:
+            shed.append("dedup_docs:timeout")
+            emit()
+            return
+        tmp_roots.append(os.path.dirname(docs_dir))
+        res = _dedup_subprocess(
+            big_cpus, DEDUP_DOCS, docs_dir,
+            timeout=max(min(_remaining() - reserve, 0.3 * DEADLINE), 60.0),
+        )
+        if res is None:
+            shed.append("dedup_throughput:timeout")
+        else:
+            dedup_samples.append(res)
+            stages_done.append(
+                "dedup_throughput"
+                + (":truncated" if res.get("truncated") else "")
+            )
         emit()
 
     tmp_roots: list[str] = []
@@ -898,6 +1095,12 @@ def main() -> None:
                 run_queries()
             else:
                 shed.append("queries:no_budget")
+            # dedup-throughput tier before the noise-control repeats:
+            # new evidence beats re-measuring existing evidence
+            if _remaining() > reserve + 120.0:
+                run_dedup()
+            else:
+                shed.append("dedup_throughput:no_budget")
             # extra interleaved repeats, best-of (shed first under load)
             for rep in range(1, REPEATS):
                 for c in levels:
@@ -915,6 +1118,8 @@ def main() -> None:
             shed.append("big_log:timeout" if big_log_attempted else "big_log:no_budget")
             if _remaining() > reserve + 60.0:
                 run_queries()
+            if _remaining() > reserve + 120.0:
+                run_dedup()
     finally:
         for r in tmp_roots:
             shutil.rmtree(r, ignore_errors=True)

@@ -108,7 +108,19 @@ def _persist(df: DataFrame) -> DataFrame:
     25-query bench, a notebook) would otherwise accumulate
     MEMORY_AND_DISK blocks that disk spill does not LRU-evict.
     Callers release them all via release_persisted() once the
-    operator's output is materialized."""
+    operator's output is materialized.
+
+    Policy knob: spark.silk.shingles.persist = true (default) caches;
+    false passes through lazily, recomputing the tokenization per
+    referencing subplan — on a memory-bandwidth-bound host storing
+    |docs| shingle arrays can cost more than the recompute it saves
+    (see BASELINE.md A/B)."""
+    try:
+        mode = df.sparkSession.conf.get("spark.silk.shingles.persist", "true")
+    except Exception:
+        mode = "true"
+    if str(mode).lower() == "false":
+        return df
     df = df.persist()
     with _PERSISTED_LOCK:
         _PERSISTED.setdefault(_session_key(df), []).append(df)
@@ -171,11 +183,17 @@ def _minhash_sig_arrow(params: "list[tuple[int, int]]"):
 
     A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
     B = np.array([b for _, b in params], dtype=np.int64)[:, None]
-
     @pandas_udf(ArrayType(LongType()))
     def _sig(hs):  # pd.Series -> pd.Series (hints omitted: module-level
         # `from __future__ import annotations` stringifies them and
         # pyspark can't resolve `pd` from this closure's globals)
+        # Deliberately a per-doc loop: each iteration is a 128×|tokens|
+        # matrix op (~16 KB, L1-resident) dominated by the int64 mod —
+        # measured AGAINST concat+minimum.reduceat batch forms
+        # (0.33×), a (tokens×perms) transposed reduceat (0.33×), and
+        # a Mersenne shift-and-fold mod (0.79×): the simple loop wins
+        # because numpy's % is already the cost floor and the batch
+        # forms add temporaries that blow the cache.
         out = []
         for h in hs:
             hv = np.asarray(h, dtype=np.int64)
@@ -196,9 +214,10 @@ def _simhash60_sig_arrow():
 
     bits = np.arange(60, dtype=np.int64)
     weights = np.int64(1) << bits
-
     @pandas_udf(LongType())
     def _sig(hs):  # pd.Series -> pd.Series (hints omitted, see above)
+        # per-doc loop on purpose — see _minhash_sig_arrow's measured
+        # case against the reduceat batch forms
         out = np.empty(len(hs), dtype=np.int64)
         for i, h in enumerate(hs):
             hv = np.asarray(h, dtype=np.int64)

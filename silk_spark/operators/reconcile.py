@@ -27,6 +27,19 @@ AQE, which broadcasts the mapping iff its runtime size is small.
 Single-pass (no transitive closure): each record maps to its
 best lower-keyed match — chains A<-B<-C resolve over successive
 batches, which is the at-least-once-friendly behavior we want.
+
+Text never rides the candidate shuffle (default impl "bare"): the
+(conv, turn-bucket) equi-join moves only (c, turn, lsn, length(text))
+— ~40 bytes/row instead of the full turn text × 3 (left side exploded
+to two buckets + right side), a lossless |length diff| ≤ threshold
+band rejects pairs on the bare keys (levenshtein(a,b) ≤ k ⇒
+|len a − len b| ≤ k; safe HERE because no levenshtein sits in this
+join condition for Catalyst to mis-order — the round-4 trap,
+BASELINE.md), and texts are fetched back for ONLY the surviving pairs
+via equi-joins AQE converts to broadcast when the pair set is small
+(the common case: near-dups are sparse). The prior text-carrying
+plan is retained as impl "inline" (conf spark.silk.reconcile.impl)
+for the recorded A/B.
 """
 
 from __future__ import annotations
@@ -72,6 +85,46 @@ def window_candidates(rec: DataFrame, turn_window: int = 1) -> DataFrame:
     )
 
 
+def window_candidate_keys(
+    rec: DataFrame, turn_window: int = 1, band: int | None = None
+) -> DataFrame:
+    """window_candidates on BARE KEYS: the same (c, turn-bucket)
+    blocking join, but the shuffled rows are (c, turn, lsn,
+    length(text)) — the text payload stays out of the exchange
+    entirely. `band` additionally rejects pairs whose text lengths
+    differ by more than the edit-distance threshold (lossless:
+    levenshtein ≤ k ⇒ |Δlen| ≤ k). Emits
+    (c, left_turn, left_lsn, right_turn, right_lsn)."""
+    w = max(int(turn_window), 1)
+    g = F.floor(F.col("turn") / w).cast("bigint")
+    ln = F.length(F.col("text"))
+    l = rec.select(
+        F.col("c"),
+        F.col("turn").alias("left_turn"),
+        F.col("lsn").alias("left_lsn"),
+        ln.alias("_llen"),
+        F.explode(F.array(g, g + 1)).alias("_tb"),
+    )
+    r = rec.select(
+        F.col("c"),
+        F.col("turn").alias("right_turn"),
+        F.col("lsn").alias("right_lsn"),
+        ln.alias("_rlen"),
+        g.alias("_tb"),
+    )
+    cond = (F.col("right_turn") > F.col("left_turn")) & (
+        F.col("right_turn") <= F.col("left_turn") + w
+    )
+    if band is not None:
+        # cheap int conjunct — fine for Catalyst to fold into the
+        # join condition alongside the range checks (no levenshtein
+        # here to be ordered behind it)
+        cond = cond & (F.abs(F.col("_llen") - F.col("_rlen")) <= int(band))
+    return (
+        l.join(r, ["c", "_tb"]).filter(cond).drop("_tb", "_llen", "_rlen")
+    )
+
+
 def near_dup_mapping(
     batch: DataFrame,
     text_threshold: float = 2.0,
@@ -90,22 +143,60 @@ def near_dup_mapping(
         F.col(lsn).alias("lsn"),
         F.col(text_col).alias("text"),
     ).filter(F.col("text").isNotNull())
-    pairs = window_candidates(rec, turn_window)
-    # 3-arg levenshtein (banded DP, early exit) — candidate pairs that
-    # are far apart cost O(n·k) instead of O(n^2) and return -1.
-    # Deliberately NO explicit |length diff| pre-filter: Catalyst
-    # folds every post-join predicate into the join condition in the
-    # order added, so an extra band conjunct lands AHEAD of the cheap
-    # turn-range checks and the generated code then runs levenshtein
-    # on every same-block pair before range-rejecting it — measured
-    # 4x slower on a 2.6M-event batch (216 s vs 51 s). The 3-arg
-    # levenshtein already length-short-circuits internally, and here
-    # it is evaluated LAST in the join condition (after the integer
-    # range conjuncts), which is exactly the ordering we want.
-    scored = pairs.withColumn(
-        "lev",
-        F.levenshtein(F.col("left_text"), F.col("right_text"), int(text_threshold)),
-    ).filter(F.col("lev") >= 0)
+    try:
+        impl = batch.sparkSession.conf.get("spark.silk.reconcile.impl", "bare")
+    except Exception:
+        impl = "bare"
+    if str(impl).lower() == "inline":
+        # legacy text-carrying candidate join (A/B baseline): the
+        # bucket exchange moves ~3 batch-volumes of text.
+        # Deliberately NO explicit |length diff| pre-filter here:
+        # Catalyst folds every post-join predicate into the join
+        # condition in the order added, so an extra band conjunct
+        # lands AHEAD of the cheap turn-range checks and the generated
+        # code then runs levenshtein on every same-block pair before
+        # range-rejecting it — measured 4x slower on a 2.6M-event
+        # batch (216 s vs 51 s). The 3-arg levenshtein already
+        # length-short-circuits internally, and here it is evaluated
+        # LAST in the join condition (after the integer range
+        # conjuncts), which is exactly the ordering we want.
+        pairs = window_candidates(rec, turn_window)
+        scored = pairs.withColumn(
+            "lev",
+            F.levenshtein(
+                F.col("left_text"), F.col("right_text"), int(text_threshold)
+            ),
+        ).filter(F.col("lev") >= 0)
+    else:
+        # default: bare-key candidates + length band, then fetch texts
+        # for ONLY the surviving pairs (AQE broadcasts the pair frame
+        # when it is small, so the batch text never shuffles at all)
+        keyed = window_candidate_keys(rec, turn_window, band=int(text_threshold))
+        lt = rec.select(
+            F.col("c"),
+            F.col("turn").alias("left_turn"),
+            F.col("lsn").alias("left_lsn"),
+            F.col("text").alias("left_text"),
+        )
+        rt = rec.select(
+            F.col("c"),
+            F.col("turn").alias("right_turn"),
+            F.col("lsn").alias("right_lsn"),
+            F.col("text").alias("right_text"),
+        )
+        fetched = keyed.join(lt, ["c", "left_turn", "left_lsn"]).join(
+            rt, ["c", "right_turn", "right_lsn"]
+        )
+        # 3-arg levenshtein (banded DP, early exit) evaluated only on
+        # band-surviving pairs; Catalyst may fold it into the second
+        # text-fetch equi-join's condition — harmless, that join
+        # already matched on exact keys before the extra conjunct runs
+        scored = fetched.withColumn(
+            "lev",
+            F.levenshtein(
+                F.col("left_text"), F.col("right_text"), int(text_threshold)
+            ),
+        ).filter(F.col("lev") >= 0)
     # best canonical target per duplicate record: closest text, then
     # smallest turn (deterministic)
     w = Window.partitionBy("c", "right_turn", "right_lsn").orderBy(

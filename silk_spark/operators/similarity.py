@@ -190,13 +190,34 @@ def ivf_build_centroids(
     then `n_iters` Lloyd iterations entirely as DataFrame ops —
     assign = zero-shuffle nearest-centroid expression (centroids are
     k×dim floats, collected and inlined per iteration, exactly a
-    broadcast variable), update = posexplode + groupBy avg. Without
-    the Lloyd steps, hash-bucket means in high dimension are
+    broadcast variable), update = ONE groupBy(centroid_id) with dim
+    per-element sum aggregates + a count: zero explode, map-side
+    partial aggregation, k rows shuffled per map task — the old
+    posexplode formulation materialized |corpus|×dim rows per
+    iteration before its partial agg (dim× row amplification ×
+    n_iters over the full corpus). Above ~2048 dims (conf
+    SILK_IVF_SUM_COLS_MAX — past that, dim separate aggregate
+    expressions stress codegen) it falls back to the explode path,
+    which trades the amplification for plan compactness. Without the
+    Lloyd steps, hash-bucket means in high dimension are
     statistically indistinguishable and nearest-centroid routing
     degenerates (nprobe < k would silently lose recall)."""
+    max_sum_cols = int(os.environ.get("SILK_IVF_SUM_COLS_MAX", "2048"))
+    dim_row = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_row["d"]) if dim_row is not None else 0
 
     def _means(assigned: DataFrame) -> DataFrame:
-        # element-wise mean via posexplode + groupBy (scales to any dim)
+        if 0 < dim <= max_sum_cols:
+            # element-wise sums as dim scalar aggregates in ONE pass
+            sums = [F.sum(F.col("v")[i]).alias(f"_s{i}") for i in range(dim)]
+            agg = assigned.groupBy("centroid_id").agg(
+                F.count(F.lit(1)).alias("_n"), *sums
+            )
+            centroid = F.array(
+                *[F.col(f"_s{i}") / F.col("_n") for i in range(dim)]
+            )
+            return agg.select("centroid_id", centroid.alias("centroid"))
+        # fallback: posexplode + groupBy (any dim, amplified rows)
         return (
             assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
             .groupBy("centroid_id", "pos")

@@ -94,3 +94,68 @@ class TestSweepPropertyParity:
                 rec = tp / tot_pos if tot_pos else 0.0
                 assert abs(r["precision"] - p) < 1e-12
                 assert abs(r["recall"] - rec) < 1e-12
+
+
+class TestScalableCumulativeWindow:
+    def test_high_cardinality_continuous_cuts(self, spark):
+        """A continuous score column (|cuts| ~ |pairs|, here 10^6
+        distinct doubles) must sweep correctly — the cumulative TP/FP
+        may NOT serialize onto one unpartitioned window task."""
+        from silk_spark.operators.learning import threshold_sweep
+
+        n = 1_000_000
+        # deterministic distinct doubles with a known label rule:
+        # positives are the even i (distance i/n), so at cut c,
+        # tp = #even i <= c*n, fp = #odd i <= c*n
+        df = (
+            spark.range(n)
+            .select(
+                (F.col("id") / n).cast("double").alias("distance"),
+                (F.col("id") % 2 == 0).alias("is_match"),
+            )
+        )
+        sweep = threshold_sweep(df)
+        # plan assertion: no window ordered by the cut column without a
+        # partition spec — the only unpartitioned window may be the
+        # P-row partition-offsets scan (ordered by _pid)
+        import re
+
+        plan = sweep._jdf.queryExecution().executedPlan().toString()
+        assert not re.search(r"windowspecdefinition\(cut#", plan), plan
+        assert re.search(r"windowspecdefinition\(_pid#", plan), plan
+        # value spot-checks at three cuts (exact closed form)
+        rows = {
+            r["cut"]: r
+            for r in sweep.filter(
+                F.col("cut").isin([0.0, (n // 2) / n, (n - 1) / n])
+            ).collect()
+        }
+        assert rows[0.0]["tp"] == 1 and rows[0.0]["fp"] == 0
+        mid = rows[(n // 2) / n]
+        assert mid["tp"] == n // 4 + 1 and mid["fp"] == n // 4
+        last = rows[(n - 1) / n]
+        assert last["tp"] == n // 2 and last["fp"] == n // 2
+        assert last["fn"] == 0 and last["tn"] == 0
+
+    def test_select_uncertain_entropy_ranking(self, spark):
+        """Uncertainty sampling keeps the k links nearest the decision
+        boundary (confidence 0 in Silk's [-1,1]); entropy is symmetric
+        around it and 0 at certainty."""
+        from silk_spark.operators.learning import select_uncertain
+
+        rows = [
+            ("a", "x", 0.0),   # p=0.5 -> entropy 1.0 (most uncertain)
+            ("b", "y", 0.5),   # p=0.75
+            ("c", "z", -0.5),  # p=0.25 (same entropy as +0.5)
+            ("d", "w", 1.0),   # p=1.0 -> entropy 0
+            ("e", "v", -1.0),  # p=0.0 -> entropy 0
+        ]
+        df = spark.createDataFrame(
+            rows, "left_key string, right_key string, confidence double"
+        )
+        got = select_uncertain(df, k=3).collect()
+        assert [r["left_key"] for r in got] == ["a", "b", "c"]
+        assert got[0]["entropy"] == 1.0
+        assert got[1]["entropy"] == got[2]["entropy"]  # symmetric
+        full = {r["left_key"]: r["entropy"] for r in select_uncertain(df, k=5).collect()}
+        assert full["d"] == 0.0 and full["e"] == 0.0

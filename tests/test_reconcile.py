@@ -90,6 +90,70 @@ def test_hot_conversation_candidates_bounded(spark):
     assert adjacent == (m_turns - 1) * versions * versions
 
 
+class TestBareCandidatePath:
+    """The default reconcile impl shuffles bare keys, never text."""
+
+    @pytest.fixture
+    def corpus(self, spark):
+        rows, lsn = [], 0
+        for c in range(20):
+            for t in range(30):
+                rows.append(
+                    (f"c{c}", t, f"turn {t} of conversation {c} says something", lsn)
+                )
+                lsn += 1
+                if (t + c) % 4 == 0:  # near-dup resend on the next turn idx
+                    rows.append(
+                        (f"c{c}", t + 1,
+                         f"turn {t} of conversation {c} says something!", lsn)
+                    )
+                    lsn += 1
+                if t % 7 == 0:  # same (c, turn), second version, new lsn
+                    rows.append(
+                        (f"c{c}", t, f"turn {t} of conversation {c} says other", lsn)
+                    )
+                    lsn += 1
+        return spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, text string, lsn bigint"
+        )
+
+    def test_bare_mapping_matches_inline(self, spark, corpus):
+        """Bit-identical mapping between the bare-key path (length band
+        + late text fetch) and the legacy text-carrying join — the band
+        is lossless and row multiplicity (same (c, turn), many lsn) is
+        preserved by carrying left_lsn through the candidate pairs."""
+        spark.conf.set("spark.silk.reconcile.impl", "bare")
+        try:
+            bare = sorted(map(tuple, near_dup_mapping(corpus).collect()))
+            spark.conf.set("spark.silk.reconcile.impl", "inline")
+            inline = sorted(map(tuple, near_dup_mapping(corpus).collect()))
+        finally:
+            spark.conf.unset("spark.silk.reconcile.impl")
+        assert len(bare) > 0
+        assert bare == inline
+
+    def test_candidate_shuffle_carries_no_text(self, spark, corpus):
+        """No Exchange in the bare candidate plan may carry the text
+        column — the bucket shuffle moves (c, turn, lsn, length) only."""
+        from silk_spark.operators.reconcile import window_candidate_keys
+
+        rec = corpus.select(
+            F.col("conv_id").alias("c"), F.col("turn_idx").alias("turn"),
+            "lsn", "text",
+        )
+        keyed = window_candidate_keys(rec, 1, band=2)
+        plan = keyed._sc._jvm.PythonSQLUtils.explainString(
+            keyed._jdf.queryExecution(), "formatted"
+        )
+        blocks = [
+            b for b in plan.split("\n\n")
+            if b.strip() and "Exchange" in b.strip().splitlines()[0]
+        ]
+        assert blocks, plan  # the blocking join does shuffle…
+        for b in blocks:
+            assert "text#" not in b, b  # …but never the payload
+
+
 def test_crash_mid_write_leaves_table_consistent(spark, batch, tmp_path):
     """A snap dir written without a metadata commit (crash between the
     data write and the atomic version-hint flip) must be invisible;

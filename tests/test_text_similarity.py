@@ -194,3 +194,51 @@ class TestLargeQuantizerBroadcastPath:
         e = {(r.query_id, r.match_id) for r in exact.collect()}
         a = {(r.query_id, r.match_id) for r in approx.collect()}
         assert a == e
+
+
+class TestLloydMeansParity:
+    def test_sum_aggregate_means_match_explode_means(self, spark):
+        """The zero-explode Lloyd mean update (dim per-element sum
+        aggregates) must produce the same centroids as the posexplode
+        fallback. Integer-valued doubles make both paths exact, so the
+        comparison is bit-level, not approximate."""
+        import os
+
+        from pyspark.sql import functions as F
+
+        from silk_spark.operators.similarity import ivf_build_centroids
+
+        rows = [
+            (i, [float((i * 7 + j * 3) % 11) for j in range(6)])
+            for i in range(200)
+        ]
+        emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+
+        def fit():
+            return {
+                int(r["centroid_id"]): [float(x) for x in r["centroid"]]
+                for r in ivf_build_centroids(
+                    emb, n_centroids=4, n_iters=2
+                ).collect()
+            }
+
+        fast = fit()
+        os.environ["SILK_IVF_SUM_COLS_MAX"] = "0"  # force explode path
+        try:
+            slow = fit()
+        finally:
+            del os.environ["SILK_IVF_SUM_COLS_MAX"]
+        assert fast == slow
+
+    def test_sum_aggregate_plan_has_no_explode(self, spark):
+        from pyspark.sql import functions as F
+
+        from silk_spark.operators.similarity import ivf_build_centroids
+
+        emb = spark.createDataFrame(
+            [(i, [float(i), float(i + 1)]) for i in range(50)],
+            "vec_id int, embedding array<double>",
+        )
+        cents = ivf_build_centroids(emb, n_centroids=2, n_iters=1)
+        plan = cents._jdf.queryExecution().executedPlan().toString()
+        assert "Generate posexplode" not in plan, plan
