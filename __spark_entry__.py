@@ -302,6 +302,45 @@ def q_workflow_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wf.execute(["report"]).outputs["report"]
 
 
+def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format sinks + sources round-trip (CsvSink/JsonSink/XmlSink and
+    the matching readers — reference silk-plugins CsvSink.scala /
+    JsonSink.scala / XmlSink.scala): `supplier` (int + string columns
+    only, so every format's type system is exercised without float
+    rendering ambiguity) is written through write_sink to csv, json
+    and xml, read back through the matching source, and reduced to the
+    same four aggregates per format. The oracle computes those
+    aggregates once from the original parquet and repeats the row per
+    format — equality proves each writer/reader pair is lossless."""
+    from silk_spark.sources.files import csv_source, json_source, write_sink, xml_source
+
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    root = tempfile.mkdtemp(prefix="silk_spark_fmt_")
+    write_sink(sup, "csv", os.path.join(root, "csv"))
+    write_sink(sup, "json", os.path.join(root, "json"))
+    write_sink(sup, "xml", os.path.join(root, "xml"),
+               rowTag="supplier", rootTag="suppliers")
+    back = {
+        "csv": csv_source(spark, os.path.join(root, "csv")),
+        "json": json_source(spark, os.path.join(root, "json"), multiline=False),
+        "xml": xml_source(spark, os.path.join(root, "xml"), row_tag="supplier"),
+    }
+    outs = []
+    for fmt, df in back.items():
+        outs.append(
+            df.agg(
+                F.count("*").cast("bigint").alias("n_rows"),
+                F.countDistinct("s_name").cast("bigint").alias("n_names"),
+                F.sum("s_suppkey").cast("bigint").alias("sum_key"),
+                F.sum(F.length("s_name")).cast("bigint").alias("sum_namelen"),
+            ).withColumn("format", F.lit(fmt))
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out.select("format", "n_rows", "n_names", "sum_key", "sum_namelen")
+
+
 def q_learn_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-learning link selection by uncertainty sampling
     (EntropySelector.scala:29-41 argmax vote-entropy, batch top-k form;
@@ -1056,6 +1095,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_threshold": q_learn_threshold,
         "learn_select_uncertain": q_learn_select_uncertain,
         "workflow_pipeline": q_workflow_pipeline,
+        "format_roundtrip": q_format_roundtrip,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1387,6 +1427,20 @@ WITH t AS (
 )
 SELECT brand, count(*) AS n_links, round(avg(lev), 6) AS avg_lev
 FROM links GROUP BY brand
+""",
+        "format_roundtrip": """
+WITH a AS (
+  SELECT count(*)::BIGINT AS n_rows,
+         count(DISTINCT s_name)::BIGINT AS n_names,
+         CAST(sum(s_suppkey) AS BIGINT) AS sum_key,
+         CAST(sum(length(s_name)) AS BIGINT) AS sum_namelen
+  FROM supplier
+)
+SELECT 'csv' AS format, n_rows, n_names, sum_key, sum_namelen FROM a
+UNION ALL
+SELECT 'json' AS format, n_rows, n_names, sum_key, sum_namelen FROM a
+UNION ALL
+SELECT 'xml' AS format, n_rows, n_names, sum_key, sum_namelen FROM a
 """,
         "learn_select_uncertain": """
 WITH links AS (

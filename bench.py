@@ -261,6 +261,7 @@ BENCH_QUERIES = [
     "learn_threshold",
     "learn_select_uncertain",
     "workflow_pipeline",
+    "format_roundtrip",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",

@@ -28,18 +28,25 @@ Single-pass (no transitive closure): each record maps to its
 best lower-keyed match — chains A<-B<-C resolve over successive
 batches, which is the at-least-once-friendly behavior we want.
 
-Text never rides the candidate shuffle (default impl "bare"): the
-(conv, turn-bucket) equi-join moves only (c, turn, lsn, length(text))
-— ~40 bytes/row instead of the full turn text × 3 (left side exploded
-to two buckets + right side), a lossless |length diff| ≤ threshold
-band rejects pairs on the bare keys (levenshtein(a,b) ≤ k ⇒
-|len a − len b| ≤ k; safe HERE because no levenshtein sits in this
-join condition for Catalyst to mis-order — the round-4 trap,
-BASELINE.md), and texts are fetched back for ONLY the surviving pairs
-via equi-joins AQE converts to broadcast when the pair set is small
-(the common case: near-dups are sparse). The prior text-carrying
-plan is retained as impl "inline" (conf spark.silk.reconcile.impl)
-for the recorded A/B.
+Impl choice is MEASURED, not argued (BASELINE.md round-5 A/B). Three
+candidate-join impls exist behind conf spark.silk.reconcile.impl:
+"inline" (default) carries the turn text through the (conv,
+turn-bucket) bucket exchange and scores in one pass; "bare" shuffles
+only (c, turn, lsn, length(text)) plus a lossless |length diff| ≤
+threshold band (levenshtein(a,b) ≤ k ⇒ |len a − len b| ≤ k), then
+fetches texts back for surviving pairs via two equi-joins; "bare_ckpt"
+is bare plus a lazy localCheckpoint of the batch so the fetch joins
+re-scan instead of recomputing lineage. The interleaved same-window
+A/B through the real CDC loop (2.5M timed events/run, 2 reps) showed
+**inline wins on BOTH text-size axes**: ~40-byte texts 90-96k ev/s vs
+bare 24-76k / bare_ckpt 51-60k; 2000-char transcript-padded texts
+21.5-24.6k vs bare 10.4-17.0k / bare_ckpt ~17.1k. Moving 3
+batch-volumes of text through ONE exchange is cheaper than scanning
+the batch 3× and running two extra joins — the exchange is
+bandwidth-bound and sequential, the re-scans contend for the same
+bus. The bare variants are retained for the record and for
+deployments where batch lineage is a cached table (the recompute cost
+the A/B charges them vanishes there).
 """
 
 from __future__ import annotations
@@ -144,12 +151,14 @@ def near_dup_mapping(
         F.col(text_col).alias("text"),
     ).filter(F.col("text").isNotNull())
     try:
-        impl = batch.sparkSession.conf.get("spark.silk.reconcile.impl", "bare")
+        impl = batch.sparkSession.conf.get("spark.silk.reconcile.impl", "inline")
     except Exception:
-        impl = "bare"
+        impl = "inline"
     if str(impl).lower() == "inline":
-        # legacy text-carrying candidate join (A/B baseline): the
-        # bucket exchange moves ~3 batch-volumes of text.
+        # text-carrying candidate join — the measured winner on both
+        # short-text and transcript-scale batches (module docstring):
+        # the bucket exchange moves ~3 batch-volumes of text, but one
+        # exchange beats three batch re-scans plus two fetch joins.
         # Deliberately NO explicit |length diff| pre-filter here:
         # Catalyst folds every post-join predicate into the join
         # condition in the order added, so an extra band conjunct
@@ -168,9 +177,16 @@ def near_dup_mapping(
             ),
         ).filter(F.col("lev") >= 0)
     else:
-        # default: bare-key candidates + length band, then fetch texts
-        # for ONLY the surviving pairs (AQE broadcasts the pair frame
-        # when it is small, so the batch text never shuffles at all)
+        # "bare"/"bare_ckpt": key-only candidates + length band, then
+        # fetch texts for ONLY the surviving pairs (AQE broadcasts the
+        # pair frame when it is small). A/B'd SLOWER than inline on
+        # both text-size axes (module docstring) — kept for the record
+        # and for cached-lineage deployments. "bare_ckpt" additionally
+        # materializes rec once (lazy localCheckpoint) so the two
+        # text-fetch joins re-scan a cached frame instead of
+        # recomputing the batch lineage.
+        if str(impl).lower() == "bare_ckpt":
+            rec = rec.localCheckpoint(eager=False)
         keyed = window_candidate_keys(rec, turn_window, band=int(text_threshold))
         lt = rec.select(
             F.col("c"),

@@ -122,15 +122,15 @@ class TestBareCandidatePath:
         + late text fetch) and the legacy text-carrying join — the band
         is lossless and row multiplicity (same (c, turn), many lsn) is
         preserved by carrying left_lsn through the candidate pairs."""
-        spark.conf.set("spark.silk.reconcile.impl", "bare")
+        out = {}
         try:
-            bare = sorted(map(tuple, near_dup_mapping(corpus).collect()))
-            spark.conf.set("spark.silk.reconcile.impl", "inline")
-            inline = sorted(map(tuple, near_dup_mapping(corpus).collect()))
+            for impl in ("bare", "bare_ckpt", "inline"):
+                spark.conf.set("spark.silk.reconcile.impl", impl)
+                out[impl] = sorted(map(tuple, near_dup_mapping(corpus).collect()))
         finally:
             spark.conf.unset("spark.silk.reconcile.impl")
-        assert len(bare) > 0
-        assert bare == inline
+        assert len(out["bare"]) > 0
+        assert out["bare"] == out["inline"] == out["bare_ckpt"]
 
     def test_candidate_shuffle_carries_no_text(self, spark, corpus):
         """No Exchange in the bare candidate plan may carry the text
