@@ -377,6 +377,125 @@ def q_learn_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _genlink_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled candidate pairs for the GP learner: brand-blocked part
+    pairs capped at p_partkey <= 1200 (identical input at every SF),
+    label = same size. Columns left_/right_ name and type feed
+    Comparison inputs."""
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") <= 1200)
+        .select("p_partkey", "p_name", "p_type", "p_brand", "p_size")
+    )
+    l = part.select(
+        F.col("p_partkey").alias("lk"), F.col("p_brand").alias("b"),
+        F.col("p_name").alias("left_name"), F.col("p_type").alias("left_type"),
+        F.col("p_size").alias("lc"),
+    )
+    r = part.select(
+        F.col("p_partkey").alias("rk"), F.col("p_brand").alias("b"),
+        F.col("p_name").alias("right_name"), F.col("p_type").alias("right_type"),
+        F.col("p_size").alias("rc"),
+    )
+    return (
+        l.join(r, "b")
+        .filter(F.col("lk") < F.col("rk"))
+        .select(
+            "left_name", "right_name", "left_type", "right_type",
+            (F.col("lc") == F.col("rc")).alias("is_match"),
+        )
+    )
+
+
+# the fixed evaluation population for learn_rule_eval: one rule per
+# aggregator family plus a single-comparison rule, thresholds chosen
+# so every confusion cell is populated at sf0.01
+def _genlink_eval_rules():
+    from silk_spark.operators.genlink import CandidateRule
+    from silk_spark.operators.linking import Comparison
+
+    lev = "levenshteinDistance"
+    return [
+        CandidateRule("min", (
+            Comparison(lev, "name", threshold=14.0),
+            Comparison(lev, "type", threshold=10.0),
+        )),
+        CandidateRule("max", (
+            Comparison(lev, "name", threshold=10.0),
+            Comparison(lev, "type", threshold=8.0),
+        )),
+        CandidateRule("average", (
+            Comparison(lev, "name", threshold=12.0, weight=2.0),
+            Comparison(lev, "type", threshold=9.0, weight=1.0),
+        )),
+        CandidateRule("min", (
+            Comparison(lev, "type", threshold=11.0),
+        )),
+    ]
+
+
+def q_learn_rule_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-wide fitness evaluation, the distributed core of the
+    GP learner (LinkageRuleEvaluator.scala:20-75 — predicted-positive
+    iff rule confidence >= 0; fitness/FMeasureFitness.scala): a fixed
+    4-rule population (min / max / weighted-average aggregators over
+    levenshteinDistance comparisons, Comparison.scala:71-78 confidence
+    mapping 1 − d/θ floored at −1) is evaluated against brand-blocked
+    labeled part pairs in ONE batched scan. The oracle recomputes every
+    rule's confusion counts and F1 from the same pairs in SQL."""
+    from silk_spark.operators.genlink import evaluate_rules
+
+    pairs = _genlink_pairs(spark, sf_dir)
+    rules = _genlink_eval_rules()
+    metrics = evaluate_rules(pairs, rules, label_col="is_match")
+    rows = [
+        (
+            i + 1,
+            rules[i].aggregator,
+            int(m["tp"]), int(m["fp"]), int(m["fn"]), int(m["tn"]),
+            round(m["f1"], 6),
+        )
+        for i, m in enumerate(metrics)
+    ]
+    return spark.createDataFrame(
+        rows, "rule_id int, aggregator string, tp bigint, fp bigint, "
+              "fn bigint, tn bigint, f1 double",
+    )
+
+
+def q_learn_genlink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full GP rule-structure search (GenLink.scala:36-103 loop;
+    GeneratePopulation/Reproduction/Mutation semantics in
+    operators/genlink.py), seeded and deterministic: learn a linkage
+    rule over the labeled part pairs from a comparison space of
+    levenshteinDistance on name/type, population 16, <= 4 generations.
+    Emits one row per generation (best/mean fitness) plus the final
+    status — an iterative algorithm with no SQL form, so this query is
+    rows-only by design (the driver's weaker check)."""
+    from silk_spark.operators.genlink import (
+        ComparisonSpace,
+        GenLinkParams,
+        learn_rule,
+    )
+
+    pairs = _genlink_pairs(spark, sf_dir)
+    spaces = [
+        ComparisonSpace("levenshteinDistance", "name", max_threshold=20.0),
+        ComparisonSpace("levenshteinDistance", "type", max_threshold=16.0),
+    ]
+    params = GenLinkParams(
+        population_size=16, max_iterations=4, max_ineffective_iterations=4,
+    )
+    res = learn_rule(pairs, spaces, params, seed=42)
+    rows = [
+        (g, round(best, 6), round(mean, 6), res["status"])
+        for g, (best, mean) in enumerate(res["history"])
+    ]
+    return spark.createDataFrame(
+        rows, "generation int, best_f1 double, mean_f1 double, status string"
+    )
+
+
 def q_rdf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF source end to end (silk-plugins-rdf SimpleEntityRetriever
     semantics over a file graph): customer + nation rows are
@@ -1094,6 +1213,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdf_entities": q_rdf_entities,
         "learn_threshold": q_learn_threshold,
         "learn_select_uncertain": q_learn_select_uncertain,
+        "learn_rule_eval": q_learn_rule_eval,
+        "learn_genlink": q_learn_genlink,
         "workflow_pipeline": q_workflow_pipeline,
         "format_roundtrip": q_format_roundtrip,
         "link_stringmap": q_link_stringmap,
@@ -1463,6 +1584,59 @@ SELECT left_key, right_key, round(confidence, 6) AS confidence, entropy
 FROM e
 ORDER BY entropy DESC, left_key ASC, right_key ASC
 LIMIT 100
+""",
+        "learn_rule_eval": """
+WITH pairs AS (
+  SELECT levenshtein(l.p_name, r.p_name)::DOUBLE AS dn,
+         levenshtein(l.p_type, r.p_type)::DOUBLE AS dt,
+         (l.p_size = r.p_size) AS y
+  FROM part l JOIN part r
+    ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+  WHERE l.p_partkey <= 1200 AND r.p_partkey <= 1200
+), conf AS (
+  SELECT y,
+         least(greatest(1.0 - dn / 14.0, -1.0), greatest(1.0 - dt / 10.0, -1.0)) AS c1,
+         greatest(greatest(1.0 - dn / 10.0, -1.0), greatest(1.0 - dt / 8.0, -1.0)) AS c2,
+         greatest(1.0 - dn / 12.0, -1.0) * (2.0 / 3.0)
+           + greatest(1.0 - dt / 9.0, -1.0) * (1.0 / 3.0) AS c3,
+         greatest(1.0 - dt / 11.0, -1.0) AS c4
+  FROM pairs
+), cells AS (
+  SELECT 1 AS rule_id, 'min' AS aggregator,
+         count(*) FILTER (c1 >= 0 AND y)::BIGINT AS tp,
+         count(*) FILTER (c1 >= 0 AND NOT y)::BIGINT AS fp,
+         count(*) FILTER (c1 < 0 AND y)::BIGINT AS fn,
+         count(*) FILTER (c1 < 0 AND NOT y)::BIGINT AS tn
+  FROM conf
+  UNION ALL
+  SELECT 2, 'max',
+         count(*) FILTER (c2 >= 0 AND y)::BIGINT,
+         count(*) FILTER (c2 >= 0 AND NOT y)::BIGINT,
+         count(*) FILTER (c2 < 0 AND y)::BIGINT,
+         count(*) FILTER (c2 < 0 AND NOT y)::BIGINT
+  FROM conf
+  UNION ALL
+  SELECT 3, 'average',
+         count(*) FILTER (c3 >= 0 AND y)::BIGINT,
+         count(*) FILTER (c3 >= 0 AND NOT y)::BIGINT,
+         count(*) FILTER (c3 < 0 AND y)::BIGINT,
+         count(*) FILTER (c3 < 0 AND NOT y)::BIGINT
+  FROM conf
+  UNION ALL
+  SELECT 4, 'min',
+         count(*) FILTER (c4 >= 0 AND y)::BIGINT,
+         count(*) FILTER (c4 >= 0 AND NOT y)::BIGINT,
+         count(*) FILTER (c4 < 0 AND y)::BIGINT,
+         count(*) FILTER (c4 < 0 AND NOT y)::BIGINT
+  FROM conf
+)
+SELECT rule_id, aggregator, tp, fp, fn, tn,
+       round(CASE WHEN tp + fp > 0 AND tp + fn > 0
+                   AND (tp::DOUBLE/(tp+fp) + tp::DOUBLE/(tp+fn)) > 0
+                  THEN 2.0 * (tp::DOUBLE/(tp+fp)) * (tp::DOUBLE/(tp+fn))
+                       / (tp::DOUBLE/(tp+fp) + tp::DOUBLE/(tp+fn))
+                  ELSE 0.0 END, 6) AS f1
+FROM cells
 """,
         "rdf_entities": """
 SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,

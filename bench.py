@@ -260,6 +260,8 @@ BENCH_QUERIES = [
     "rdf_entities",
     "learn_threshold",
     "learn_select_uncertain",
+    "learn_rule_eval",
+    "learn_genlink",
     "workflow_pipeline",
     "format_roundtrip",
     "reconcile_turns",
@@ -931,12 +933,12 @@ def main() -> None:
             "partial": not final,
         }
         if queries:
-            # 1-decimal in the compact line only (full 3-decimal
+            # whole seconds in the compact line only (full 3-decimal
             # detail stays in the cumulative line above): with the
-            # complete 41-query regression axis, 2-decimal rendering
-            # could breach the ~1.9 KB driver tail window at worst
-            # case — pinned by tests/test_bench_artifact.py
-            compact["queries"] = {k: round(v, 1) for k, v in queries.items()}
+            # complete 44-query regression axis, even 1-decimal
+            # rendering breaches the ~1.9 KB driver tail window at
+            # worst case — pinned by tests/test_bench_artifact.py
+            compact["queries"] = {k: int(round(v)) for k, v in queries.items()}
             compact["total_query_sec"] = round(result["total_query_sec"], 1)
         line = json.dumps(compact)
         if len(line) > 1900 and "queries" in compact:

@@ -1,0 +1,352 @@
+"""Genetic-programming linkage-rule structure search (GenLink).
+
+Reference: silk-learning/.../genlink/GenLink.scala:36-130 (evolution
+loop; stop statuses Success / MaximumIneffectiveIterationsReached /
+MaximumIterationsReached; scoreEpsilon 1e-4),
+generation/GeneratePopulation.scala:36-59 + LinkageRuleGenerator
+.scala:30-55 + ComparisonGenerator.scala:26-44 (random rules: an
+aggregation drawn from {average, max, min} over 1-2 comparisons, each
+with a random measure, threshold ~ U(0, maxThreshold) and integer
+weight in [1, 20]), reproduction/Reproduction.scala:38-66 (elitism +
+size-5 tournament selection; offspring are mutation with probability
+0.25 else crossover), reproduction/MutationFunction.scala:46-49
+(mutation IS crossover with a fresh random rule),
+reproduction/{Threshold,Weight,DistanceMeasure,AggregationFunction,
+Subtree}Crossover.scala (the specialized operator set: average the
+thresholds / copy the weight / copy the measure / copy the
+aggregation function / exchange a random comparison),
+individual/fitness/FMeasureFitness.scala + MCCFitnessFunction.scala
+with rule/evaluation/LinkageRuleEvaluator.scala:20-75
+(predicted-positive iff rule confidence >= 0.0).
+
+Spark-first reframe — the scan direction inverts. The reference
+holds its reference links in driver memory and scores one rule at a
+time (Reproduction.scala's `.par` over individuals). At engine scale
+the LABELED PAIRS are the big side (10^8-10^10 weak-supervision
+pairs), so fitness evaluation flips: each generation compiles a
+BATCH of rules into one whole-stage-codegen projection (one
+confidence Column per rule — flat aggregation-over-comparisons trees
+stay small) and a single `.agg()` computes every rule's confusion
+counts in one scan of the pairs. A generation costs
+ceil(population / eval_batch) Spark jobs regardless of pair count,
+the shuffle is the 1-row aggregate, and the driver-side evolution
+loop only ever touches the per-rule fitness vector. eval_batch
+(default 64) bounds the per-projection expression count the same way
+the IVF literal budget bounds codegen size.
+"""
+
+from __future__ import annotations
+
+import random as _random
+from dataclasses import dataclass, field, replace
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from silk_spark.operators.linking import Aggregation, Comparison
+
+# aggregations the generator draws from: LinkageRuleGenerator.scala:
+# 39-43 — "average" (linear components) + "max"/"min" (boolean)
+_GEN_AGGREGATIONS = ("average", "max", "min")
+# ComparisonGenerator.scala:28 / LinkageRuleGenerator.scala:45
+_MAX_WEIGHT = 20
+# GenLink.scala:23 — fitness ties within epsilon count as ineffective
+_SCORE_EPSILON = 1e-4
+
+
+@dataclass(frozen=True)
+class ComparisonSpace:
+    """One slot the generator can instantiate — the analogue of a
+    ComparisonGenerator (measure + input pair + maxThreshold)."""
+
+    measure: str
+    left: str
+    right: str | None = None
+    max_threshold: float = 4.0
+
+
+@dataclass(frozen=True)
+class GenLinkParams:
+    """LearningConfiguration.Parameters:60-65 +
+    ReproductionConfiguration:17-19 defaults, except population_size
+    (reference 500) sized for flat rules at 64-rule eval batches."""
+
+    population_size: int = 50
+    max_iterations: int = 50
+    max_ineffective_iterations: int = 50
+    destination_fmeasure: float = 0.999
+    mutation_probability: float = 0.25
+    elitism_count: int = 3
+    tournament_size: int = 5
+    max_operator_count: int = 2  # LinkageRuleGenerator.scala:49
+    fitness: str = "f1"  # or "mcc"
+    eval_batch: int = 64
+
+
+@dataclass(frozen=True)
+class CandidateRule:
+    """A flat linkage rule: aggregator over 1..max_operator_count
+    comparisons — the population individual (LinkageRuleNode of an
+    AggregationNode of ComparisonNodes)."""
+
+    aggregator: str
+    comparisons: tuple = field(default_factory=tuple)  # of Comparison
+
+    def confidence(self) -> "F.Column":
+        if len(self.comparisons) == 1 and self.aggregator != "average":
+            return self.comparisons[0].confidence()
+        return Aggregation(
+            aggregator=self.aggregator, children=list(self.comparisons)
+        ).confidence()
+
+    def describe(self) -> str:
+        parts = [
+            f"{c.measure}({c.left},{c.right or c.left})"
+            f"<={round(c.threshold, 3)}*{int(c.weight)}"
+            for c in self.comparisons
+        ]
+        return f"{self.aggregator}[{' | '.join(parts)}]"
+
+
+def random_comparison(rng: _random.Random, space: ComparisonSpace) -> Comparison:
+    """ComparisonGenerator.scala:33-43: threshold ~ U(0, max),
+    weight ~ 1 + randint(0, 19)."""
+    return Comparison(
+        measure=space.measure,
+        left=space.left,
+        right=space.right,
+        threshold=rng.random() * space.max_threshold,
+        weight=float(rng.randrange(_MAX_WEIGHT) + 1),
+    )
+
+
+def random_rule(
+    rng: _random.Random,
+    spaces: list[ComparisonSpace],
+    max_operator_count: int = 2,
+) -> CandidateRule:
+    """LinkageRuleGenerator.apply: random aggregation over
+    1..max_operator_count comparisons drawn (with replacement, as the
+    reference does) from the comparison generators."""
+    n = rng.randrange(max(int(max_operator_count), 1)) + 1
+    comps = tuple(
+        random_comparison(rng, spaces[rng.randrange(len(spaces))])
+        for _ in range(n)
+    )
+    return CandidateRule(
+        aggregator=_GEN_AGGREGATIONS[rng.randrange(len(_GEN_AGGREGATIONS))],
+        comparisons=comps,
+    )
+
+
+# ---------------------------------------------------------------------------
+# distributed fitness evaluation
+# ---------------------------------------------------------------------------
+
+
+def evaluate_rules(
+    pairs: DataFrame,
+    rules: list[CandidateRule],
+    label_col: str = "is_match",
+    eval_batch: int = 64,
+) -> list[dict]:
+    """Confusion metrics for EVERY rule in O(len(rules)/eval_batch)
+    scans of `pairs`: per batch, one projection evaluates each rule's
+    confidence Column and one agg sums its (tp, fp) plus the shared
+    (pos, neg) totals — LinkageRuleEvaluator.scala:20-75 semantics
+    (predicted-positive iff confidence >= 0.0) at population width.
+    Returns one dict per rule: tp/fp/fn/tn/precision/recall/f1/mcc."""
+    y = F.col(label_col).cast("boolean")
+    out: list[dict] = []
+    batch = max(int(eval_batch), 1)
+    for start in range(0, len(rules), batch):
+        chunk = rules[start : start + batch]
+        aggs = [
+            F.count_if(y).cast("bigint").alias("_pos"),
+            F.count_if(~y).cast("bigint").alias("_neg"),
+        ]
+        for i, rule in enumerate(chunk):
+            pred = rule.confidence() >= 0.0
+            aggs.append(F.count_if(pred & y).cast("bigint").alias(f"_tp{i}"))
+            aggs.append(F.count_if(pred & ~y).cast("bigint").alias(f"_fp{i}"))
+        row = pairs.agg(*aggs).first().asDict()
+        pos, neg = row["_pos"], row["_neg"]
+        for i in range(len(chunk)):
+            tp, fp = row[f"_tp{i}"], row[f"_fp{i}"]
+            fn, tn = pos - tp, neg - fp
+            precision = tp / (tp + fp) if tp + fp > 0 else 0.0
+            recall = tp / (tp + fn) if tp + fn > 0 else 0.0
+            f1 = (
+                2 * precision * recall / (precision + recall)
+                if precision + recall > 0
+                else 0.0
+            )
+            den = (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+            mcc = (tp * tn - fp * fn) / den**0.5 if den > 0 else 0.0
+            out.append(
+                {
+                    "tp": tp,
+                    "fp": fp,
+                    "fn": fn,
+                    "tn": tn,
+                    "precision": precision,
+                    "recall": recall,
+                    "f1": f1,
+                    "mcc": mcc,
+                }
+            )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# reproduction
+# ---------------------------------------------------------------------------
+
+
+def _crossover(
+    rng: _random.Random, a: CandidateRule, b: CandidateRule
+) -> CandidateRule:
+    """One randomly-chosen specialized crossover operator
+    (CrossoverFunction.scala:36-60 picks uniformly; flat-tree forms):
+    threshold-average (ThresholdCrossover), weight copy
+    (WeightCrossover), measure copy (DistanceMeasureCrossover),
+    aggregation-function copy (AggregationFunctionCrossover),
+    comparison exchange (the SubtreeCrossover analogue for depth-2
+    trees). Operators that need a comparison from each side pair the
+    i-th of `a` with a random one of `b`."""
+    op = rng.randrange(5)
+    if op == 0:  # aggregation function from b
+        return replace(a, aggregator=b.aggregator)
+    ai = rng.randrange(len(a.comparisons))
+    bc = b.comparisons[rng.randrange(len(b.comparisons))]
+    comps = list(a.comparisons)
+    if op == 1:  # average the thresholds
+        comps[ai] = replace(
+            comps[ai], threshold=(comps[ai].threshold + bc.threshold) / 2.0
+        )
+    elif op == 2:  # copy the weight
+        comps[ai] = replace(comps[ai], weight=bc.weight)
+    elif op == 3:  # copy the measure (keep inputs/threshold)
+        comps[ai] = replace(comps[ai], measure=bc.measure)
+    else:  # exchange the whole comparison
+        comps[ai] = bc
+    return replace(a, comparisons=tuple(comps))
+
+
+def _tournament(
+    rng: _random.Random, scored: list[tuple[CandidateRule, float]], size: int
+) -> CandidateRule:
+    """Reproduction.scala:61-65 — best of `size` uniform draws."""
+    best = scored[rng.randrange(len(scored))]
+    for _ in range(size - 1):
+        cand = scored[rng.randrange(len(scored))]
+        if cand[1] > best[1]:
+            best = cand
+    return best[0]
+
+
+# ---------------------------------------------------------------------------
+# the learning activity
+# ---------------------------------------------------------------------------
+
+
+def learn_rule(
+    pairs: DataFrame,
+    spaces: list[ComparisonSpace],
+    params: GenLinkParams = GenLinkParams(),
+    label_col: str = "is_match",
+    seed: int = 0,
+    seeds: list[CandidateRule] | None = None,
+) -> dict:
+    """GenLink.run (GenLink.scala:36-103): seeded random population,
+    then elitism + tournament reproduction until the best rule's
+    F-measure reaches destination_fmeasure, fitness stalls for
+    max_ineffective_iterations, or max_iterations pass. Each
+    generation's fitness is one batched scan of `pairs`
+    (evaluate_rules). Deterministic under `seed`.
+
+    Returns {rule, fitness, f1, metrics, iterations, status, history}
+    where history[i] is (best_fitness, mean_fitness) per generation."""
+    rng = _random.Random(seed)
+    fit_key = "mcc" if params.fitness == "mcc" else "f1"
+
+    population = list(seeds or [])
+    # GeneratePopulation.scala:53-58: 10% seed reuse when seeds exist
+    while len(population) < params.population_size:
+        population.append(random_rule(rng, spaces, params.max_operator_count))
+    population = population[: params.population_size]
+
+    def fitnesses(rules: list[CandidateRule]) -> list[dict]:
+        return evaluate_rules(pairs, rules, label_col, params.eval_batch)
+
+    metrics = fitnesses(population)
+    scored = [(r, m[fit_key]) for r, m in zip(population, metrics)]
+    history = []
+    best_rule, best_metrics = max(
+        zip(population, metrics), key=lambda rm: rm[1][fit_key]
+    )
+    iterations, ineffective = 0, 0
+    status = "Running"
+    while True:
+        best_fit = best_metrics[fit_key]
+        history.append(
+            (best_fit, sum(s for _, s in scored) / len(scored))
+        )
+        if best_metrics["f1"] > params.destination_fmeasure:
+            status = "Success"
+            break
+        if ineffective >= params.max_ineffective_iterations:
+            status = "MaximumIneffectiveIterationsReached"
+            break
+        if iterations >= params.max_iterations:
+            status = "MaximumIterationsReached"
+            break
+        # Reproduction.scala:41-59: keep the elite, breed the rest
+        elite = [
+            r
+            for r, _ in sorted(scored, key=lambda rm: -rm[1])[
+                : params.elitism_count
+            ]
+        ]
+        offspring = []
+        for _ in range(params.population_size - len(elite)):
+            if rng.random() < params.mutation_probability:
+                # MutationFunction.scala:46-49 — crossover with a
+                # fresh random rule
+                offspring.append(
+                    _crossover(
+                        rng,
+                        _tournament(rng, scored, params.tournament_size),
+                        random_rule(rng, spaces, params.max_operator_count),
+                    )
+                )
+            else:
+                offspring.append(
+                    _crossover(
+                        rng,
+                        _tournament(rng, scored, params.tournament_size),
+                        _tournament(rng, scored, params.tournament_size),
+                    )
+                )
+        population = elite + offspring
+        metrics = fitnesses(population)
+        scored = [(r, m[fit_key]) for r, m in zip(population, metrics)]
+        gen_best, gen_best_metrics = max(
+            zip(population, metrics), key=lambda rm: rm[1][fit_key]
+        )
+        if gen_best_metrics[fit_key] <= best_fit + _SCORE_EPSILON:
+            ineffective += 1  # GenLink.scala:78-81
+        else:
+            ineffective = 0
+        if gen_best_metrics[fit_key] > best_fit:
+            best_rule, best_metrics = gen_best, gen_best_metrics
+        iterations += 1
+    return {
+        "rule": best_rule,
+        "fitness": best_metrics[fit_key],
+        "f1": best_metrics["f1"],
+        "metrics": best_metrics,
+        "iterations": iterations,
+        "status": status,
+        "history": history,
+    }

@@ -27,9 +27,10 @@ _spec.loader.exec_module(_bench)
 def _worst_case_compact_line() -> str:
     """The compact payload exactly as bench.py's emit() shapes it,
     with every numeric field at its widest realistic rendering."""
-    # emit() renders compact query timings at 1 decimal; a query can't
-    # plausibly exceed 4 integer digits inside the 1500 s deadline
-    queries = {name: 9999.9 for name in _bench.BENCH_QUERIES}
+    # emit() renders compact query timings as whole seconds; a query
+    # can't plausibly exceed 4 integer digits inside the 1500 s
+    # deadline
+    queries = {name: 9999 for name in _bench.BENCH_QUERIES}
     compact = {
         "metric": "change_events_per_sec_merge",
         "value": 99999999.9,

@@ -1,0 +1,152 @@
+"""GenLink GP rule-structure search: distributed fitness evaluation
+math, planted-rule recovery, determinism, batching parity.
+
+Reference semantics under test: LinkageRuleEvaluator.scala:20-75
+(predicted-positive iff confidence >= 0), GenLink.scala:36-103 stop
+statuses, MutationFunction.scala:46-49 / the specialized crossover
+operator set."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from silk_spark.operators.genlink import (
+    CandidateRule,
+    ComparisonSpace,
+    GenLinkParams,
+    evaluate_rules,
+    learn_rule,
+    random_rule,
+)
+from silk_spark.operators.linking import Comparison
+
+
+@pytest.fixture(scope="module")
+def labeled_pairs(spark):  # noqa: F811
+    """120 word pairs; ground truth = edit distance <= 2 (a planted
+    levenshteinDistance rule with threshold in [2, 3))."""
+    base = [
+        "alpha", "bravo", "charlie", "delta", "echo", "foxtrot",
+        "golf", "hotel", "india", "juliet",
+    ]
+    rows = []
+    for i, w in enumerate(base):
+        for j in range(12):
+            if j % 4 == 0:
+                other = w + "x" * (j // 4 % 2 + 1)  # dist 1-2: match
+            elif j % 4 == 1:
+                other = w + "xyz"  # dist exactly 3: non-match, pins
+                # the learnable threshold into [2, 3)
+            elif j % 4 == 2:
+                other = w[:2] + "zzzz" + str(j)  # far: non-match
+            else:
+                other = base[(i + j) % len(base)]  # other word
+            rows.append((w, other))
+    df = spark.createDataFrame(rows, ["left_name", "right_name"])
+    return df.withColumn(
+        "is_match", F.levenshtein("left_name", "right_name") <= 2
+    ).persist()
+
+
+def _planted_space():
+    return [ComparisonSpace("levenshteinDistance", "name", max_threshold=4.0)]
+
+
+class TestEvaluateRules:
+    def test_confusion_math_matches_hand_count(self, spark, labeled_pairs):  # noqa: F811
+        # threshold 2.5: conf = 1 - d/2.5 >= 0 iff d <= 2.5 iff d <= 2
+        rule = CandidateRule(
+            "min",
+            (Comparison("levenshteinDistance", "name", threshold=2.5),),
+        )
+        (m,) = evaluate_rules(labeled_pairs, [rule])
+        n_pos = labeled_pairs.filter("is_match").count()
+        n = labeled_pairs.count()
+        assert (m["tp"], m["fp"]) == (n_pos, 0)
+        assert (m["fn"], m["tn"]) == (0, n - n_pos)
+        assert m["f1"] == 1.0 and m["mcc"] == 1.0
+
+    def test_partial_rule_metrics(self, spark, labeled_pairs):  # noqa: F811
+        # threshold 1.0 misses the distance-2 positives: recall < 1,
+        # precision stays 1 (no non-match is within distance 1)
+        rule = CandidateRule(
+            "max",
+            (Comparison("levenshteinDistance", "name", threshold=1.0),),
+        )
+        (m,) = evaluate_rules(labeled_pairs, [rule])
+        assert m["fp"] == 0 and m["fn"] > 0
+        assert m["precision"] == 1.0 and 0 < m["recall"] < 1.0
+        assert 0 < m["f1"] < 1.0
+
+    def test_eval_batch_chunking_is_invisible(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        rng = random.Random(7)
+        rules = [random_rule(rng, _planted_space()) for _ in range(9)]
+        whole = evaluate_rules(labeled_pairs, rules, eval_batch=64)
+        chunked = evaluate_rules(labeled_pairs, rules, eval_batch=2)
+        assert whole == chunked
+
+
+class TestLearnRule:
+    def test_recovers_planted_rule(self, spark, labeled_pairs):  # noqa: F811
+        params = GenLinkParams(
+            population_size=24, max_iterations=15, destination_fmeasure=0.999
+        )
+        res = learn_rule(
+            labeled_pairs, _planted_space(), params, seed=11
+        )
+        assert res["status"] == "Success"
+        assert res["f1"] == 1.0
+        # behavioral check on fresh probe pairs: the learned rule's
+        # decision boundary admits distance 2 and rejects distance 3
+        # (the planted rule), regardless of its internal structure
+        probes = spark.createDataFrame(
+            [("kilo", "kiloxx", True), ("kilo", "kiloxyz", False)],
+            ["left_name", "right_name", "expected"],
+        )
+        got = {
+            r["right_name"]: r["accept"]
+            for r in probes.withColumn(
+                "accept", res["rule"].confidence() >= 0.0
+            ).collect()
+        }
+        assert got == {"kiloxx": True, "kiloxyz": False}
+
+    def test_deterministic_under_seed(self, spark, labeled_pairs):  # noqa: F811
+        params = GenLinkParams(population_size=12, max_iterations=3,
+                               destination_fmeasure=2.0)  # never Success
+        a = learn_rule(labeled_pairs, _planted_space(), params, seed=5)
+        b = learn_rule(labeled_pairs, _planted_space(), params, seed=5)
+        assert a["rule"].describe() == b["rule"].describe()
+        assert a["history"] == b["history"]
+        assert a["status"] == "MaximumIterationsReached"
+
+    def test_ineffective_stop(self, spark, labeled_pairs):  # noqa: F811
+        params = GenLinkParams(
+            population_size=12,
+            max_iterations=50,
+            max_ineffective_iterations=2,
+            destination_fmeasure=2.0,  # unreachable -> stall path
+        )
+        res = learn_rule(labeled_pairs, _planted_space(), params, seed=3)
+        assert res["status"] in (
+            "MaximumIneffectiveIterationsReached",
+            "MaximumIterationsReached",
+        )
+        assert res["iterations"] <= 50
+
+    def test_seed_rules_join_population(self, spark, labeled_pairs):  # noqa: F811
+        perfect = CandidateRule(
+            "min",
+            (Comparison("levenshteinDistance", "name", threshold=2.5),),
+        )
+        params = GenLinkParams(population_size=8, max_iterations=2)
+        res = learn_rule(
+            labeled_pairs,
+            _planted_space(),
+            params,
+            seed=1,
+            seeds=[perfect],
+        )
+        # generation 0 already contains the planted rule -> instant Success
+        assert res["status"] == "Success" and res["iterations"] == 0
