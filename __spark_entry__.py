@@ -401,6 +401,7 @@ def _genlink_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(r, "b")
         .filter(F.col("lk") < F.col("rk"))
         .select(
+            "lk", "rk",
             "left_name", "right_name", "left_type", "right_type",
             (F.col("lc") == F.col("rc")).alias("is_match"),
         )
@@ -493,6 +494,27 @@ def q_learn_genlink(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     return spark.createDataFrame(
         rows, "generation int, best_f1 double, mean_f1 double, status string"
+    )
+
+
+def q_learn_select_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committee-based active-learning link selection
+    (JensenShannonDivergenceSelector.scala:33-116): a fixed 2-rule
+    committee scores part pairs; pairs with p_partkey <= 300 on the
+    left act as the labeled reference set, the rest are unlabeled
+    candidates ranked by their JS divergence + entropy/2 distance to
+    the NEAREST reference link over the per-reference fulfilled rule
+    subset. Top 50 selected. The oracle replays the identical
+    mask/mean/JSD arithmetic in SQL."""
+    from silk_spark.operators.genlink import select_by_divergence
+
+    pairs = _genlink_pairs(spark, sf_dir)
+    rules = _genlink_eval_rules()
+    committee = [rules[2], rules[3]]  # average(name,type) + min(type)
+    ref = pairs.filter(F.col("lk") <= 300)
+    unlabeled = pairs.filter(F.col("lk") > 300)
+    return select_by_divergence(
+        unlabeled, ref, committee, k=50, key_cols=("lk", "rk")
     )
 
 
@@ -1215,6 +1237,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_select_uncertain": q_learn_select_uncertain,
         "learn_rule_eval": q_learn_rule_eval,
         "learn_genlink": q_learn_genlink,
+        "learn_select_divergence": q_learn_select_divergence,
         "workflow_pipeline": q_workflow_pipeline,
         "format_roundtrip": q_format_roundtrip,
         "link_stringmap": q_link_stringmap,
@@ -1637,6 +1660,65 @@ SELECT rule_id, aggregator, tp, fp, fn, tn,
                        / (tp::DOUBLE/(tp+fp) + tp::DOUBLE/(tp+fn))
                   ELSE 0.0 END, 6) AS f1
 FROM cells
+""",
+        "learn_select_divergence": """
+WITH pairs AS (
+  SELECT l.p_partkey AS lk, r.p_partkey AS rk,
+         levenshtein(l.p_name, r.p_name)::DOUBLE AS dn,
+         levenshtein(l.p_type, r.p_type)::DOUBLE AS dt,
+         (l.p_size = r.p_size) AS y
+  FROM part l JOIN part r
+    ON l.p_brand = r.p_brand AND l.p_partkey < r.p_partkey
+  WHERE l.p_partkey <= 1200 AND r.p_partkey <= 1200
+), probs AS (
+  SELECT lk, rk, y,
+         (greatest(1.0 - dn / 12.0, -1.0) * (2.0 / 3.0)
+          + greatest(1.0 - dt / 9.0, -1.0) * (1.0 / 3.0)) * 0.5 + 0.5 AS p1,
+         greatest(1.0 - dt / 11.0, -1.0) * 0.5 + 0.5 AS p2
+  FROM pairs
+), refraw AS (
+  SELECT p1, p2,
+         CASE WHEN y THEN p1 > 0.5 ELSE p1 <= 0.5 END AS b1,
+         CASE WHEN y THEN p2 > 0.5 ELSE p2 <= 0.5 END AS b2
+  FROM probs WHERE lk <= 300
+), ref AS (
+  SELECT DISTINCT
+    (CASE WHEN m1 THEN p1 ELSE 0.0 END + CASE WHEN m2 THEN p2 ELSE 0.0 END)
+      / (m1::INT + m2::INT) AS p,
+    m1, m2, (m1::INT + m2::INT) AS nbits
+  FROM (
+    SELECT p1, p2,
+           CASE WHEN NOT b1 AND NOT b2 THEN TRUE ELSE b1 END AS m1,
+           CASE WHEN NOT b1 AND NOT b2 THEN TRUE ELSE b2 END AS m2
+    FROM refraw
+  )
+), joined AS (
+  SELECT u.lk, u.rk, r.p,
+         (CASE WHEN r.m1 THEN u.p1 ELSE 0.0 END
+          + CASE WHEN r.m2 THEN u.p2 ELSE 0.0 END) / r.nbits AS q
+  FROM (SELECT lk, rk, p1, p2 FROM probs WHERE lk > 300) u
+  CROSS JOIN ref r
+), dists AS (
+  SELECT lk, rk,
+         (CASE WHEN (p + q) / 2.0 > 0.0 AND (p + q) / 2.0 < 1.0
+               THEN (-((p + q) / 2.0) * ln((p + q) / 2.0)
+                     - (1.0 - (p + q) / 2.0) * ln(1.0 - (p + q) / 2.0)) / ln(2)
+               ELSE 0.0 END
+          - (CASE WHEN p > 0.0 AND p < 1.0
+                  THEN (-p * ln(p) - (1.0 - p) * ln(1.0 - p)) / ln(2)
+                  ELSE 0.0 END
+             + CASE WHEN q > 0.0 AND q < 1.0
+                    THEN (-q * ln(q) - (1.0 - q) * ln(1.0 - q)) / ln(2)
+                    ELSE 0.0 END) / 2.0
+          + 0.5 * CASE WHEN q > 0.0 AND q < 1.0
+                       THEN (-q * ln(q) - (1.0 - q) * ln(1.0 - q)) / ln(2)
+                       ELSE 0.0 END) AS d
+  FROM joined
+)
+SELECT lk, rk, round(min(d), 6) AS divergence
+FROM dists GROUP BY lk, rk
+ORDER BY divergence DESC, lk ASC, rk ASC
+LIMIT 50
 """,
         "rdf_entities": """
 SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,

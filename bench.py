@@ -262,6 +262,7 @@ BENCH_QUERIES = [
     "learn_select_uncertain",
     "learn_rule_eval",
     "learn_genlink",
+    "learn_select_divergence",
     "workflow_pipeline",
     "format_roundtrip",
     "reconcile_turns",

@@ -199,6 +199,124 @@ def evaluate_rules(
 
 
 # ---------------------------------------------------------------------------
+# committee-based active-learning link selection
+# ---------------------------------------------------------------------------
+
+
+def select_by_divergence(
+    unlabeled: DataFrame,
+    reference: DataFrame,
+    committee: list[CandidateRule],
+    k: int = 3,
+    key_cols=("left_key", "right_key"),
+    label_col: str = "is_match",
+    fulfilled_only: bool = True,
+) -> DataFrame:
+    """Jensen-Shannon-divergence link selection over a rule committee
+    (active/linkselector/JensenShannonDivergenceSelector.scala:33-107):
+    every REFERENCE link induces a distribution p = mean probability
+    (rule confidence * 0.5 + 0.5, :96-98) over the rules that FULFILL
+    it (confidence > 0 for positives, <= 0 for negatives, :81-87);
+    an unlabeled link's distance from that reference link is
+    JSD(p, q) + H(q)/2 with q the same mean over the same rule subset
+    (:74-78, JSD/entropy :100-116); its score is the distance to the
+    NEAREST reference link, and the k highest-scoring links are
+    selected (:39-44, top 3 in the reference).
+
+    The natural committee is the evolved population's elite
+    (learn_rule + sorted fitness), closing the GP -> active-learning
+    loop: GenLink learns rules, this picks the next links to label.
+
+    Scale shape: the committee is compiled once per side. R
+    confidence Columns on the reference frame yield one
+    (fulfilled-mask, p) row per reference link, deduplicated and
+    BROADCAST (reference links are the labeled set — small by
+    definition). Unlabeled links are scanned ONCE, computing their R
+    probabilities in codegen, then a broadcast nested-loop against
+    the reference rows, a min-aggregate per link (partial map-side),
+    and a TakeOrderedAndProject top-k — no shuffle of the unlabeled
+    side beyond the k-row merge.
+
+    Empty fulfilled sets (a reference link no committee rule gets
+    right) fall back to the full committee instead of the reference's
+    NaN mean — documented divergence, keeps every reference link
+    usable."""
+    R = len(committee)
+    if R == 0:
+        raise ValueError("committee must not be empty")
+    probs = [r.confidence() * 0.5 + 0.5 for r in committee]
+    y = F.col(label_col).cast("boolean")
+
+    # reference side: per-link fulfilled mask + mean prob over it
+    fulfilled = [
+        F.when(y, c > 0.5).otherwise(c <= 0.5).cast("int")
+        for c in probs  # conf > 0  <=>  prob > 0.5
+    ]
+    mask = sum(
+        (f * F.lit(1 << i) for i, f in enumerate(fulfilled)), F.lit(0)
+    )
+    nbits = sum((f for f in fulfilled), F.lit(0))
+    all_mask = F.lit((1 << R) - 1)
+    ref = reference.select(
+        F.when(nbits > 0, mask).otherwise(all_mask).alias("_mask"),
+        F.when(nbits > 0, nbits).otherwise(F.lit(R)).alias("_nbits"),
+        *[
+            F.when((F.when(nbits > 0, mask).otherwise(all_mask))
+                   .bitwiseAND(F.lit(1 << i)) != 0, p)
+            .otherwise(F.lit(0.0))
+            .alias(f"_rp{i}")
+            for i, p in enumerate(probs)
+        ],
+    )
+    psum = sum((F.col(f"_rp{i}") for i in range(R)), F.lit(0.0))
+    ref = ref.select(
+        "_mask", "_nbits", (psum / F.col("_nbits")).alias("_p")
+    ).distinct()
+
+    # unlabeled side: R probabilities once, then broadcast NL join
+    lk = list(key_cols)
+    links = unlabeled.select(
+        *lk, *[p.alias(f"_q{i}") for i, p in enumerate(probs)]
+    )
+    joined = links.crossJoin(F.broadcast(ref))
+    qsum = sum(
+        (
+            F.when(
+                F.col("_mask").bitwiseAND(F.lit(1 << i)) != 0,
+                F.col(f"_q{i}"),
+            ).otherwise(F.lit(0.0))
+            for i in range(R)
+        ),
+        F.lit(0.0),
+    )
+    q = qsum / F.col("_nbits")
+
+    def _h(p):  # binary entropy in bits, 0 at the endpoints
+        import math
+
+        return F.when(
+            (p > 0.0) & (p < 1.0),
+            (-p * F.log(p) - (1.0 - p) * F.log(1.0 - p))
+            / F.lit(math.log(2.0)),
+        ).otherwise(F.lit(0.0))
+
+    pm = (F.col("_p") + q) / 2.0
+    jsd = _h(pm) - (_h(F.col("_p")) + _h(q)) / 2.0
+    dist = jsd + 0.5 * _h(q)
+    scored = (
+        joined.withColumn("_d", dist)
+        .groupBy(*lk)
+        .agg(F.min("_d").alias("divergence"))
+    )
+    order = [F.col("divergence").desc()] + [F.col(c).asc() for c in lk]
+    return (
+        scored.withColumn("divergence", F.round("divergence", 6))
+        .orderBy(*order)
+        .limit(int(k))
+    )
+
+
+# ---------------------------------------------------------------------------
 # reproduction
 # ---------------------------------------------------------------------------
 

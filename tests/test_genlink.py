@@ -87,6 +87,86 @@ class TestEvaluateRules:
         assert whole == chunked
 
 
+class TestSelectByDivergence:
+    """JensenShannonDivergenceSelector.scala:33-116 semantics, hand
+    computed for a single-rule committee."""
+
+    @staticmethod
+    def _h(p: float) -> float:
+        import math
+
+        if p <= 0.0 or p >= 1.0:
+            return 0.0
+        return (-p * math.log(p) - (1 - p) * math.log(1 - p)) / math.log(2)
+
+    def test_hand_computed_single_rule(self, spark):  # noqa: F811
+        from silk_spark.operators.genlink import select_by_divergence
+
+        rule = CandidateRule(
+            "min",
+            (Comparison("levenshteinDistance", "name", threshold=2.5),),
+        )
+        # one positive reference at distance 1: conf 0.6, p 0.8,
+        # fulfilled (conf > 0) -> p_ref = 0.8
+        ref = spark.createDataFrame(
+            [("alpha", "alphax", True)],
+            ["left_name", "right_name", "is_match"],
+        )
+        # unlabeled at distances 0..4 -> q = 1.0, .8, .6, .4, .3
+        links = spark.createDataFrame(
+            [
+                (0, "kilo", "kilo"),
+                (1, "kilo", "kilox"),
+                (2, "kilo", "kiloxx"),
+                (3, "kilo", "kiloxyz"),
+                (4, "kilo", "kilowxyz"),
+            ],
+            ["pair_id", "left_name", "right_name"],
+        )
+        out = select_by_divergence(
+            links, ref, [rule], k=5, key_cols=("pair_id",)
+        ).collect()
+        h, p_ref = self._h, 0.8
+        expect = {}
+        for pid, d in [(0, 0), (1, 1), (2, 2), (3, 3), (4, 4)]:
+            conf = max(1.0 - d / 2.5, -1.0)
+            q = conf * 0.5 + 0.5
+            jsd = h((p_ref + q) / 2) - (h(p_ref) + h(q)) / 2
+            expect[pid] = round(jsd + 0.5 * h(q), 6)
+        got = {r["pair_id"]: r["divergence"] for r in out}
+        assert got == pytest.approx(expect, abs=2e-6)
+        # ordering: most divergent first
+        divs = [r["divergence"] for r in out]
+        assert divs == sorted(divs, reverse=True)
+
+    def test_unfulfilled_reference_falls_back_to_full_committee(self, spark):  # noqa: F811
+        from silk_spark.operators.genlink import select_by_divergence
+
+        rule = CandidateRule(
+            "min",
+            (Comparison("levenshteinDistance", "name", threshold=2.5),),
+        )
+        # a POSITIVE reference the rule rejects (distance 4, conf < 0):
+        # fulfilled set empty -> fall back to the whole committee
+        ref = spark.createDataFrame(
+            [("alpha", "alphwxyz", True)],
+            ["left_name", "right_name", "is_match"],
+        )
+        links = spark.createDataFrame(
+            [(0, "kilo", "kilox")], ["pair_id", "left_name", "right_name"]
+        )
+        out = select_by_divergence(
+            links, ref, [rule], k=1, key_cols=("pair_id",)
+        ).collect()
+        h = self._h
+        p_ref = max(1.0 - 4 / 2.5, -1.0) * 0.5 + 0.5  # 0.2
+        q = 0.8
+        jsd = h((p_ref + q) / 2) - (h(p_ref) + h(q)) / 2
+        assert out[0]["divergence"] == pytest.approx(
+            round(jsd + 0.5 * h(q), 6), abs=2e-6
+        )
+
+
 class TestLearnRule:
     def test_recovers_planted_rule(self, spark, labeled_pairs):  # noqa: F811
         params = GenLinkParams(

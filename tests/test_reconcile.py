@@ -91,7 +91,10 @@ def test_hot_conversation_candidates_bounded(spark):
 
 
 class TestBareCandidatePath:
-    """The default reconcile impl shuffles bare keys, never text."""
+    """The alternative "bare"/"bare_ckpt" impls shuffle bare keys,
+    never text — retained behind spark.silk.reconcile.impl after the
+    round-5 A/B (BASELINE.md) showed the text-carrying default wins;
+    parity and plan shape stay pinned here."""
 
     @pytest.fixture
     def corpus(self, spark):
