@@ -79,6 +79,7 @@ class GenLinkParams:
     elitism_count: int = 3
     tournament_size: int = 5
     max_operator_count: int = 2  # LinkageRuleGenerator.scala:49
+    clean_frequency: int = 5  # Parameters.cleanFrequency
     fitness: str = "f1"  # or "mcc"
     eval_batch: int = 64
 
@@ -364,6 +365,103 @@ def _tournament(
 
 
 # ---------------------------------------------------------------------------
+# population cleaning
+# ---------------------------------------------------------------------------
+
+
+def _structurally_same(a: CandidateRule, b: CandidateRule) -> bool:
+    """CleanPopulationTask.compareLinkageRules/compareOperators:
+    same aggregation function and every comparison of `a` has a
+    counterpart in `b` with the same measure and inputs — thresholds
+    and weights deliberately NOT compared (the reference treats rules
+    differing only in parameters as duplicates)."""
+    if a.aggregator != b.aggregator:
+        return False
+    key = lambda c: (c.measure, c.left, c.right or c.left)  # noqa: E731
+    bkeys = [key(c) for c in b.comparisons]
+    return all(key(c) in bkeys for c in a.comparisons)
+
+
+def clean_population(
+    pairs: DataFrame,
+    scored: list[tuple[CandidateRule, float]],
+    spaces: list[ComparisonSpace],
+    rng: _random.Random,
+    params: GenLinkParams,
+    label_col: str = "is_match",
+) -> list[tuple[CandidateRule, float]]:
+    """CleanPopulationTask.scala:34-160 for flat rules, with the
+    fitness probes BATCHED: (1) redundant-comparison removal — for
+    each multi-comparison individual, every drop-one variant is
+    evaluated (ALL variants across the population in one
+    evaluate_rules scan) and the reference's sequential accept order
+    (removeRedundantOperators:143-155: keep a drop iff fitness stays
+    within fitnessEpsilon of the individual's) is replayed
+    driver-side; (2) duplicate removal — sort by fitness, keep the
+    first of each structural-equality run and replace the removed
+    count with fresh random individuals (:45-58), scored in one more
+    batched scan so the returned population is fully evaluated."""
+    fit_key = "mcc" if params.fitness == "mcc" else "f1"
+
+    # phase 1: batched redundancy probes
+    variants: list[CandidateRule] = []
+    spans: list[tuple[int, int]] = []  # per individual: (start, n)
+    for rule, _ in scored:
+        start = len(variants)
+        if len(rule.comparisons) > 1:
+            for i in range(len(rule.comparisons)):
+                comps = tuple(
+                    c for j, c in enumerate(rule.comparisons) if j != i
+                )
+                variants.append(replace(rule, comparisons=comps))
+        spans.append((start, len(variants) - start))
+    vfits = (
+        [
+            m[fit_key]
+            for m in evaluate_rules(
+                pairs, variants, label_col, params.eval_batch
+            )
+        ]
+        if variants
+        else []
+    )
+    cleaned: list[tuple[CandidateRule, float]] = []
+    for (rule, fit), (start, n) in zip(scored, spans):
+        if n == 0:
+            cleaned.append((rule, fit))
+            continue
+        # sequential accept order over the ORIGINAL drop-one probes:
+        # with <= 2 comparisons (the generator default) one accepted
+        # drop ends the chain exactly as the reference does (a
+        # 1-comparison rule is never emptied, cleanAggregation:137-39);
+        # for wider rules only one drop lands per clean pass — later
+        # passes continue the reduction (converges across cleans)
+        kept = rule
+        for i in range(n):
+            if vfits[start + i] >= fit - _SCORE_EPSILON:
+                kept = variants[start + i]
+                break
+        cleaned.append((kept, fit))
+
+    # phase 2: duplicate removal + random backfill
+    cleaned.sort(key=lambda rf: -rf[1])
+    distinct: list[tuple[CandidateRule, float]] = []
+    for rule, fit in cleaned:
+        if distinct and _structurally_same(distinct[-1][0], rule):
+            continue
+        distinct.append((rule, fit))
+    n_new = len(cleaned) - len(distinct)
+    if n_new:
+        fresh = [
+            random_rule(rng, spaces, params.max_operator_count)
+            for _ in range(n_new)
+        ]
+        fmet = evaluate_rules(pairs, fresh, label_col, params.eval_batch)
+        distinct.extend((r, m[fit_key]) for r, m in zip(fresh, fmet))
+    return distinct
+
+
+# ---------------------------------------------------------------------------
 # the learning activity
 # ---------------------------------------------------------------------------
 
@@ -459,6 +557,23 @@ def learn_rule(
         if gen_best_metrics[fit_key] > best_fit:
             best_rule, best_metrics = gen_best, gen_best_metrics
         iterations += 1
+        # GenLink.scala:57-60: clean every cleanFrequency iterations
+        if params.clean_frequency > 0 and iterations % params.clean_frequency == 0:
+            scored = clean_population(
+                pairs, scored, spaces, rng, params, label_col
+            )
+            population = [r for r, _ in scored]
+    # GenLink.scala:63-64: one final clean; re-derive the winner from
+    # the cleaned population (redundant comparisons dropped) and
+    # re-evaluate its full metric set
+    if params.clean_frequency > 0 and scored:
+        scored = clean_population(pairs, scored, spaces, rng, params, label_col)
+        final_rule = max(scored, key=lambda rf: rf[1])[0]
+        (final_metrics,) = evaluate_rules(
+            pairs, [final_rule], label_col, params.eval_batch
+        )
+        if final_metrics[fit_key] >= best_metrics[fit_key] - _SCORE_EPSILON:
+            best_rule, best_metrics = final_rule, final_metrics
     return {
         "rule": best_rule,
         "fitness": best_metrics[fit_key],

@@ -167,6 +167,100 @@ class TestSelectByDivergence:
         )
 
 
+class TestCleanPopulation:
+    """CleanPopulationTask.scala:34-160 — batched redundancy probes +
+    structural duplicate removal with random backfill."""
+
+    def test_redundant_comparison_dropped(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        from silk_spark.operators.genlink import (
+            clean_population,
+            evaluate_rules,
+        )
+
+        # comparison 2 duplicates comparison 1 -> dropping it cannot
+        # change fitness, so the clean must shrink the rule to one
+        rule = CandidateRule(
+            "min",
+            (
+                Comparison("levenshteinDistance", "name", threshold=2.5),
+                Comparison("levenshteinDistance", "name", threshold=2.7),
+            ),
+        )
+        (m,) = evaluate_rules(labeled_pairs, [rule])
+        out = clean_population(
+            labeled_pairs,
+            [(rule, m["f1"])],
+            _planted_space(),
+            random.Random(0),
+            GenLinkParams(),
+        )
+        assert len(out) == 1
+        cleaned, fit = out[0]
+        assert len(cleaned.comparisons) == 1
+        assert fit == m["f1"]  # fitness inherited (reference :103-109)
+
+    def test_load_bearing_comparisons_survive(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        from silk_spark.operators.genlink import (
+            clean_population,
+            evaluate_rules,
+        )
+
+        # max-aggregation where each arm rescues pairs the other
+        # rejects: name admits distance <= 2, the far-junk arm admits
+        # nothing extra — but a MIN of (useful, useless-negative)
+        # breaks without the useful arm, so probe a rule where BOTH
+        # arms matter: max(lev(name)<=1, lev(name)<=2.5) -> dropping
+        # the 2.5 arm loses the distance-2 positives
+        rule = CandidateRule(
+            "max",
+            (
+                Comparison("levenshteinDistance", "name", threshold=1.0),
+                Comparison("levenshteinDistance", "name", threshold=2.5),
+            ),
+        )
+        (m,) = evaluate_rules(labeled_pairs, [rule])
+        assert m["f1"] == 1.0
+        out = clean_population(
+            labeled_pairs,
+            [(rule, m["f1"])],
+            _planted_space(),
+            random.Random(0),
+            GenLinkParams(),
+        )
+        cleaned, _ = out[0]
+        # the threshold-1.0 arm is redundant (max with the 2.5 arm),
+        # the 2.5 arm is load-bearing: exactly it must survive
+        assert len(cleaned.comparisons) == 1
+        assert cleaned.comparisons[0].threshold == 2.5
+
+    def test_duplicates_replaced_with_fresh_rules(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        from silk_spark.operators.genlink import clean_population
+
+        # same measure+inputs, different thresholds: structural dups
+        a = CandidateRule(
+            "min", (Comparison("levenshteinDistance", "name", threshold=2.5),)
+        )
+        b = CandidateRule(
+            "min", (Comparison("levenshteinDistance", "name", threshold=1.0),)
+        )
+        out = clean_population(
+            labeled_pairs,
+            [(a, 1.0), (b, 0.8)],
+            _planted_space(),
+            random.Random(0),
+            GenLinkParams(),
+        )
+        assert len(out) == 2  # size preserved: 1 kept + 1 fresh
+        kept = [r for r, f in out if f == 1.0]
+        assert kept and kept[0].comparisons[0].threshold == 2.5
+
+
 class TestLearnRule:
     def test_recovers_planted_rule(self, spark, labeled_pairs):  # noqa: F811
         params = GenLinkParams(
