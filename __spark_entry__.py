@@ -518,6 +518,60 @@ def q_learn_select_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sparql_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL endpoint retrieval protocol end to end
+    (SimpleEntityRetriever.scala:29-117 + ParallelEntityRetriever.scala
+    :32-123 + PagingSparqlTraversable.scala:44-131, Spark-first): the
+    customer table becomes an in-memory triple graph served through a
+    picklable endpoint; `retrieve_entities` fans out one Spark task per
+    (path x offset-stride), each running the paged OFFSET/LIMIT
+    protocol with ORDER-BY-stable page boundaries, and assembles
+    entities with a groupBy(subject) merge — forward properties (name,
+    segment) plus a BACKWARD property (`\\member` from the nation
+    side). The oracle recomputes the projection relationally, proving
+    the protocol loses and duplicates nothing across page seams."""
+    from silk_spark.sources.sparql import (
+        LocalGraphEndpoint,
+        PathSpec,
+        SparqlParams,
+        retrieve_entities,
+        type_restriction,
+    )
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_mktsegment", "c_nationkey")
+        .collect()
+    )
+    triples = []
+    for r in cust:
+        s = f"urn:cust:{r['c_custkey']}"
+        triples.append((s, "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "urn:T:Customer"))
+        triples.append((s, "urn:v:name", r["c_name"]))
+        triples.append((s, "urn:v:segment", r["c_mktsegment"]))
+        triples.append((f"urn:nation:{r['c_nationkey']}", "urn:v:member", s))
+    endpoint = LocalGraphEndpoint(triples)
+    paths = [
+        PathSpec("urn:v:name"),
+        PathSpec("urn:v:segment"),
+        PathSpec("urn:v:member", backward=True, name="nation_uri"),
+    ]
+    entities = retrieve_entities(
+        spark,
+        endpoint,
+        paths,
+        restriction=type_restriction("urn:T:Customer"),
+        params=SparqlParams(page_size=700),
+        n_strides=4,
+    )
+    return entities.select(
+        F.col("_uri").alias("uri"),
+        F.element_at("name", 1).alias("name"),
+        F.element_at("segment", 1).alias("segment"),
+        F.element_at("nation_uri", 1).alias("nation_uri"),
+    )
+
+
 def q_rdf_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RDF source end to end (silk-plugins-rdf SimpleEntityRetriever
     semantics over a file graph): customer + nation rows are
@@ -1233,6 +1287,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_qgram_blocked": q_link_qgram_blocked,
         "cdc_schema_evolution": q_cdc_schema_evolution,
         "rdf_entities": q_rdf_entities,
+        "sparql_entities": q_sparql_entities,
         "learn_threshold": q_learn_threshold,
         "learn_select_uncertain": q_learn_select_uncertain,
         "learn_rule_eval": q_learn_rule_eval,
@@ -1726,6 +1781,13 @@ SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,
        'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nation_uri,
        n_name AS nation_name
 FROM customer JOIN nation ON c_nationkey = n_nationkey
+""",
+        "sparql_entities": """
+SELECT 'urn:cust:' || CAST(c_custkey AS VARCHAR) AS uri,
+       c_name AS name,
+       c_mktsegment AS segment,
+       'urn:nation:' || CAST(c_nationkey AS VARCHAR) AS nation_uri
+FROM customer
 """,
         "cdc_schema_evolution": f"""
 WITH log AS (

@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "cdc_schema_evolution",
     "cdc_batch_lineage",
     "rdf_entities",
+    "sparql_entities",
     "learn_threshold",
     "learn_select_uncertain",
     "learn_rule_eval",

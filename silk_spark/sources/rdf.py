@@ -24,12 +24,14 @@ values of subjects matching a restriction) over a FILE-based graph:
                        links.nt: `<s> <owl:sameAs> <t> .` per link,
                        silk-rules LinkWriter semantics).
 
-SPARQL *endpoints* stay out of scope (network service); the file path
-covers the dump-based workflow, which is also the only one that scales
-to a 100 TB graph — a SPARQL endpoint cannot stream that, a
-partitioned dump can. At scale the .nt text scan splits by line like
-any text source, the parse is whole-stage codegen, and the entity
-pivot is ONE shuffle with map-side partial aggregation on subject.
+SPARQL *endpoint* retrieval (the paged + parallel protocol of
+SimpleEntityRetriever/ParallelEntityRetriever) lives in the sibling
+module `sources/sparql.py`; this file covers the dump-based workflow,
+which is the one that scales to a 100 TB graph — a SPARQL endpoint
+cannot stream that, a partitioned dump can. At scale the .nt text
+scan splits by line like any text source, the parse is whole-stage
+codegen, and the entity pivot is ONE shuffle with map-side partial
+aggregation on subject.
 """
 
 from __future__ import annotations
