@@ -561,7 +561,11 @@ def q_sparql_entities(spark: SparkSession, sf_dir: str) -> DataFrame:
         endpoint,
         paths,
         restriction=type_restriction("urn:T:Customer"),
-        params=SparqlParams(page_size=700),
+        # page sizing: the in-memory test endpoint re-evaluates the
+        # query per page, so pages are sized to keep that O(pages ×
+        # graph) cost flat across sf; the pytest suite exercises tight
+        # page seams separately (test_sparql.py::TestPagedSelect)
+        params=SparqlParams(page_size=2500),
         n_strides=4,
     )
     return entities.select(

@@ -368,3 +368,75 @@ class TestHttpTransport:
             SparqlParams(page_size=8), n_strides=2,
         )
         assert frame_to_dict(df) == expected_entities()
+
+
+# ---------------------------------------------------------------------------
+# paging-protocol properties (hypothesis; pure protocol, no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@st.composite
+def paging_case(draw):
+    n = draw(st.integers(min_value=0, max_value=120))
+    page = draw(st.integers(min_value=1, max_value=40))
+    strides = draw(st.integers(min_value=1, max_value=6))
+    return n, page, strides
+
+
+class TestPagingProperties:
+    """PagingSparqlTraversable invariants for ARBITRARY result sizes,
+    page sizes and stride counts — page-seam bugs (off-by-one at the
+    short page, double-fetch at exact multiples, stride gaps) are
+    exactly the class hand-picked sizes miss."""
+
+    @settings(max_examples=60, deadline=None)
+    @given(paging_case())
+    def test_strided_streams_partition_the_results(self, case):
+        n, page, strides = case
+        ep = LocalGraphEndpoint(
+            [(person(i), TYPE, PERSON) for i in range(n)]
+        )
+        q = build_entity_uris_query(type_restriction(PERSON))
+        params = SparqlParams(page_size=page)
+        got = [
+            r["s"]
+            for k in range(strides)
+            for r in paged_select(
+                ep, q, params, first_page=k, page_stride=strides
+            )
+        ]
+        assert sorted(got) == sorted(person(i) for i in range(n))
+        assert len(got) == len(set(got))  # disjoint: no seam double-fetch
+
+    @settings(max_examples=60, deadline=None)
+    @given(paging_case(), st.integers(min_value=0, max_value=150))
+    def test_limit_yields_ordered_prefix(self, case, limit):
+        n, page, _ = case
+        ep = LocalGraphEndpoint(
+            [(person(i), TYPE, PERSON) for i in range(n)]
+        )
+        q = build_entity_uris_query(type_restriction(PERSON))
+        rows = [
+            r["s"]
+            for r in paged_select(ep, q, SparqlParams(page_size=page), limit=limit)
+        ]
+        assert rows == [person(i) for i in range(min(n, limit))]
+
+    @settings(max_examples=60, deadline=None)
+    @given(paging_case())
+    def test_query_count_is_minimal(self, case):
+        # pages + at most ONE empty probe (only when n is an exact
+        # page multiple, PagingSparqlTraversable.scala:75)
+        n, page, _ = case
+        ep = LocalGraphEndpoint(
+            [(person(i), TYPE, PERSON) for i in range(n)]
+        )
+        q = build_entity_uris_query(type_restriction(PERSON))
+        list(paged_select(ep, q, SparqlParams(page_size=page)))
+        # n%page!=0: ceil(n/page) pages, the short last one terminates;
+        # n%page==0: n/page full pages + one empty probe — both forms
+        # reduce to n//page + 1
+        assert len(ep.queries) == n // page + 1
