@@ -582,4 +582,132 @@ def learn_rule(
         "iterations": iterations,
         "status": status,
         "history": history,
+        "population": sorted(scored, key=lambda rf: -rf[1]),
+    }
+
+
+# ---------------------------------------------------------------------------
+# the active-learning iteration
+# ---------------------------------------------------------------------------
+
+
+def complete_reference_pairs(
+    pool: DataFrame,
+    labeled: DataFrame | None,
+    population: list[CandidateRule],
+    label_col: str = "is_match",
+    max_links: int = 50,
+    max_rules: int = 10,
+) -> DataFrame:
+    """CompleteReferenceLinks.scala:25-71: guarantee the labeled set
+    has at least one positive AND one negative pair so fitness is
+    computable. A missing class is bootstrapped from the unlabeled
+    pool: the first `max_links` pool pairs are scored with the mean
+    confidence of up to `max_rules` population rules (one codegen
+    projection over <= 50 rows); the max-confidence pair becomes the
+    positive (:50-58), the min-confidence pair the negative (:60-67).
+    Returns labeled ∪ bootstrapped with the pool's full column set, so
+    the result feeds straight back into learn_rule."""
+    y = F.col(label_col).cast("boolean")
+    n_pos = n_neg = 0
+    if labeled is not None:
+        counts = labeled.agg(
+            F.count_if(y).alias("p"), F.count_if(~y).alias("n")
+        ).first()
+        n_pos, n_neg = counts["p"], counts["n"]
+        if n_pos > 0 and n_neg > 0:
+            return labeled
+    rules = population[:max_rules]
+    conf = sum((r.confidence() for r in rules), F.lit(0.0)) / len(rules)
+    scored = pool.drop(label_col).limit(max_links).withColumn("_conf", conf)
+    parts = []
+    if n_pos == 0:
+        parts.append(
+            scored.orderBy(F.desc("_conf"))
+            .limit(1)
+            .drop("_conf")
+            .withColumn(label_col, F.lit(True))
+        )
+    if n_neg == 0:
+        parts.append(
+            scored.orderBy(F.asc("_conf"))
+            .limit(1)
+            .drop("_conf")
+            .withColumn(label_col, F.lit(False))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    if labeled is not None:
+        out = labeled.unionByName(out)
+    return out
+
+
+def active_learn_iteration(
+    pool: DataFrame,
+    labeled: DataFrame | None,
+    spaces: list[ComparisonSpace],
+    params: GenLinkParams = GenLinkParams(),
+    seed: int = 0,
+    n_select: int = 3,
+    key_cols=("left_key", "right_key"),
+    label_col: str = "is_match",
+    seeds: list[CandidateRule] | None = None,
+) -> dict:
+    """One ActiveLearning.run() pass (ActiveLearning.scala:46-81):
+    (1) build the initial population (carried in via `seeds` across
+    iterations, else random); (2) complete the reference links from
+    the pool if a class is missing (CompleteReferenceLinks);
+    (3) learn/update the population on the completed reference set
+    (GenLink loop incl. periodic + final population cleaning);
+    (4) committee = every individual with fitness >= 0.1 x best
+    (:220-226 WeightedLinkageRule cut); (5) select the next links to
+    label from the still-unlabeled pool by JS-divergence
+    (config.active.selector, :228). One documented ordering
+    divergence: the reference cleans the population AFTER selection;
+    learn_rule cleans as its final step, so selection sees the cleaned
+    population — cleaning only drops structural duplicates and
+    fitness-neutral redundant comparisons, so the committee's
+    decision boundary is unchanged.
+
+    Returns learn_rule's dict plus {"reference": the completed labeled
+    frame, "committee": the weighted-cut rules, "selected": a
+    DataFrame of the n_select chosen key pairs} — feed `selected`
+    (with labels from your oracle/user) back in as `labeled` and
+    `result["population"]` rules as `seeds` for the next iteration."""
+    rng = _random.Random(seed)
+    init_pop = list(seeds or [])
+    while len(init_pop) < params.population_size:
+        init_pop.append(random_rule(rng, spaces, params.max_operator_count))
+    reference = complete_reference_pairs(pool, labeled, init_pop, label_col)
+    # The labeled set is small by definition (it grows by n_select per
+    # user round) but its LINEAGE compounds across rounds: each round's
+    # frame chains pool joins, confidence sorts, and committee codegen
+    # over the previous round's plan, and learn_rule re-executes that
+    # plan once per GP scan. Snap it here so every fitness scan reads a
+    # materialized few-dozen-row block instead of re-deriving the whole
+    # label history (unbounded plans OOM the driver by round ~3).
+    reference = reference.localCheckpoint(eager=True)
+    result = learn_rule(
+        reference, spaces, params, label_col, seed=seed, seeds=init_pop
+    )
+    scored = result["population"]
+    best_fit = scored[0][1]
+    committee = [r for r, f in scored if f >= best_fit * 0.1] or [scored[0][0]]
+    unlabeled = pool.join(
+        reference.select(*key_cols), on=list(key_cols), how="left_anti"
+    )
+    selected = select_by_divergence(
+        unlabeled,
+        reference,
+        committee,
+        k=n_select,
+        key_cols=key_cols,
+        label_col=label_col,
+    )
+    return {
+        **result,
+        "reference": reference,
+        "committee": committee,
+        "selected": selected,
     }

@@ -324,3 +324,109 @@ class TestLearnRule:
         )
         # generation 0 already contains the planted rule -> instant Success
         assert res["status"] == "Success" and res["iterations"] == 0
+
+
+class TestActiveLearning:
+    """ActiveLearning.scala:46-81 — one iteration: reference
+    completion, population learn, weighted-cut committee, divergence
+    selection; plus a simulated 2-round label loop."""
+
+    def test_bootstrap_reference_from_empty(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        from silk_spark.operators.genlink import (
+            complete_reference_pairs,
+            random_rule,
+        )
+
+        pool = labeled_pairs.drop("is_match")
+        rng = random.Random(7)
+        pop = [random_rule(rng, _planted_space()) for _ in range(10)]
+        ref = complete_reference_pairs(pool, None, pop)
+        rows = ref.collect()
+        # CompleteReferenceLinks: exactly one positive + one negative
+        assert sorted(r["is_match"] for r in rows) == [False, True]
+        assert set(ref.columns) == set(pool.columns) | {"is_match"}
+
+    def test_bootstrap_adds_only_missing_class(self, spark, labeled_pairs):  # noqa: F811
+        import random
+
+        from pyspark.sql import functions as F
+
+        from silk_spark.operators.genlink import (
+            complete_reference_pairs,
+            random_rule,
+        )
+
+        pool = labeled_pairs.drop("is_match")
+        positives = labeled_pairs.filter("is_match").limit(3)
+        rng = random.Random(7)
+        pop = [random_rule(rng, _planted_space()) for _ in range(10)]
+        ref = complete_reference_pairs(pool, positives, pop)
+        agg = ref.agg(
+            F.count_if(F.col("is_match")).alias("p"),
+            F.count_if(~F.col("is_match")).alias("n"),
+        ).first()
+        assert (agg["p"], agg["n"]) == (3, 1)
+        # already-complete labeled set passes through untouched
+        complete = labeled_pairs.limit(20)
+        assert complete_reference_pairs(pool, complete, pop) is complete
+
+    def test_iteration_selects_unlabeled_links(self, spark, labeled_pairs):  # noqa: F811
+        from silk_spark.operators.genlink import active_learn_iteration
+
+        pool = labeled_pairs.drop("is_match")
+        params = GenLinkParams(
+            population_size=16, max_iterations=3,
+            max_ineffective_iterations=3, clean_frequency=0,
+        )
+        out = active_learn_iteration(
+            pool, None, _planted_space(), params, seed=11, n_select=4,
+            key_cols=("left_name", "right_name"),
+        )
+        sel = out["selected"].collect()
+        assert len(sel) == 4
+        # selection never re-asks about a reference-labeled pair
+        ref_keys = {
+            (r["left_name"], r["right_name"]) for r in out["reference"].collect()
+        }
+        assert all(
+            (r["left_name"], r["right_name"]) not in ref_keys for r in sel
+        )
+        # the committee honors the 0.1 x best fitness cut, sorted desc
+        fits = [f for _, f in out["population"]]
+        assert len(out["committee"]) == sum(1 for f in fits if f >= fits[0] * 0.1)
+
+    def test_label_loop_recovers_planted_rule(self, spark, labeled_pairs):  # noqa: F811
+        # 3 simulated user rounds: label what the selector asks for,
+        # feed it back with the carried population — the final rule
+        # must classify the FULL ground truth perfectly (the planted
+        # threshold is learnable from few well-chosen labels; two
+        # rounds of labels can still leave it unpinned below dist 2)
+        from pyspark.sql import functions as F
+
+        from silk_spark.operators.genlink import (
+            active_learn_iteration,
+            evaluate_rules,
+        )
+
+        pool = labeled_pairs.drop("is_match")
+        params = GenLinkParams(
+            population_size=20, max_iterations=6,
+            max_ineffective_iterations=6, destination_fmeasure=0.999,
+        )
+        labeled = None
+        seeds = None
+        for it in range(3):
+            out = active_learn_iteration(
+                pool, labeled, _planted_space(), params, seed=it,
+                n_select=6, key_cols=("left_name", "right_name"),
+            )
+            # the user labels the selected pairs (ground truth oracle)
+            newly = out["selected"].select("left_name", "right_name").join(
+                labeled_pairs, ["left_name", "right_name"]
+            )
+            labeled = out["reference"].unionByName(newly)
+            seeds = [r for r, _ in out["population"]]
+        (final,) = evaluate_rules(labeled_pairs, [out["rule"]])
+        assert final["f1"] >= 0.95
