@@ -1168,6 +1168,66 @@ def q_measure_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spatial link job over the envelope/point slice
+    (functions/spatial.py; reference spatial/relation/WithinMetric.scala:27
+    + utils/Utils.scala:204-229 envelope-grid blocking): customers
+    become WKT POINTs, suppliers 2x2-degree WKT boxes, candidates come
+    from the SAME envelope-grid equi-join the reference's blocking
+    stage produces (lossless for `within`: a point inside a box always
+    truncates into one of the box's grid cells), and the exact
+    relation + centroid geodesic run as pure codegen on the survivors.
+    The oracle recomputes from the raw numerics with no WKT anywhere,
+    so the parse -> envelope -> relation -> haversine path is what's
+    being checked."""
+    from silk_spark.functions.spatial import (
+        centroid_distance,
+        envelope_blocks,
+        s_relation,
+    )
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.concat(
+            F.lit("POINT ("),
+            (F.col("c_custkey") % 60 + 0.5).cast("string"),
+            F.lit(" "),
+            (F.col("c_custkey") % 40 + 0.25).cast("string"),
+            F.lit(")"),
+        ).alias("g_pt"),
+    )
+    x0 = F.col("s_suppkey") % 55
+    y0 = (F.col("s_suppkey") * 7) % 35
+    ring = lambda x, y: F.concat(x.cast("string"), F.lit(" "), y.cast("string"))  # noqa: E731
+    supp = _t(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        F.concat(
+            F.lit("POLYGON (("),
+            ring(x0, y0), F.lit(", "),
+            ring(x0 + 2, y0), F.lit(", "),
+            ring(x0 + 2, y0 + 2), F.lit(", "),
+            ring(x0, y0 + 2), F.lit(", "),
+            ring(x0, y0),
+            F.lit("))"),
+        ).alias("g_box"),
+    )
+    L = cust.withColumn("blk", F.explode(envelope_blocks(F.col("g_pt"), 1.0)))
+    R = supp.withColumn("blk", F.explode(envelope_blocks(F.col("g_box"), 1.0)))
+    ten_mm = 10_000_000.0  # normalizer >= any same-cell distance
+    return (
+        L.join(R, "blk")
+        .dropDuplicates(["c_custkey", "s_suppkey"])
+        .where(s_relation(F.col("g_pt"), F.col("g_box"), "within", 0.0) == 0.0)
+        .select(
+            "c_custkey",
+            "s_suppkey",
+            F.round(
+                centroid_distance(F.col("g_pt"), F.col("g_box"), ten_mm) * ten_mm, 1
+            ).alias("centroid_m"),
+        )
+    )
+
+
 def q_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Restriction-style filter + projection (predicate/column pushdown
     reaches the parquet scan — verified in bench explain)."""
@@ -1322,6 +1382,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "transform_chain": q_transform_chain,
         "measure_catalog": q_measure_catalog,
+        "spatial_join": q_spatial_join,
         "filter_pushdown": q_filter_pushdown,
         "profile_stats": q_profile_stats,
         "events_sessionize": q_events_sessionize,
@@ -2052,6 +2113,28 @@ SELECT key,
        round(2.0 * len(list_distinct(list_intersect(string_split(a,' '), string_split(b,' '))))
              / (len(list_distinct(string_split(a,' '))) + len(list_distinct(string_split(b,' ')))), 6) AS tok_dice
 FROM pairs
+""",
+        "spatial_join": """
+WITH pt AS (
+  SELECT c_custkey,
+         (c_custkey % 60) + 0.5  AS lon,
+         (c_custkey % 40) + 0.25 AS lat
+  FROM customer
+), box AS (
+  SELECT s_suppkey,
+         (s_suppkey % 55)       AS x0,
+         ((s_suppkey * 7) % 35) AS y0
+  FROM supplier
+)
+SELECT c_custkey, s_suppkey,
+       round(2 * 6371000.0 * asin(sqrt(
+         pow(sin(radians((y0 + 1.0) - lat) / 2), 2)
+         + cos(radians(lat)) * cos(radians(y0 + 1.0))
+           * pow(sin(radians((x0 + 1.0) - lon) / 2), 2)
+       )), 1) AS centroid_m
+FROM pt, box
+WHERE lon > x0 AND lon < x0 + 2
+  AND lat > y0 AND lat < y0 + 2
 """,
         "filter_pushdown": """
 SELECT l_suppkey,

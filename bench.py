@@ -276,6 +276,7 @@ BENCH_QUERIES = [
     "transform_chain",
     "transform_validate",
     "measure_catalog",
+    "spatial_join",
     "allen_relations",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
@@ -942,10 +943,13 @@ def main() -> None:
             # worst case — pinned by tests/test_bench_artifact.py
             compact["queries"] = {k: int(round(v)) for k, v in queries.items()}
             compact["total_query_sec"] = round(result["total_query_sec"], 1)
-        line = json.dumps(compact)
+        # minimal separators: ", "/": " whitespace alone costs ~2 bytes
+        # per key and the 47-query axis has ~90 of them — real capacity
+        # against the ~1.9 KB driver tail window, still plain JSON
+        line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900 and "queries" in compact:
             del compact["queries"]
-            line = json.dumps(compact)
+            line = json.dumps(compact, separators=(",", ":"))
         print(line, flush=True)
 
     def run_merge(

@@ -570,6 +570,14 @@ MEASURES = {
 }
 
 
+# spatial relation/distance metrics join the same registry the way the
+# reference's PluginFactory folds the spatial plugin in (SpatialPlugins
+# registration; functions/spatial.py for semantics + scope)
+from silk_spark.functions.spatial import SPATIAL_MEASURES  # noqa: E402
+
+MEASURES.update(SPATIAL_MEASURES)
+
+
 def distance(measure: str, a: Column, b: Column, **params) -> Column:
     """Registry dispatch: distance column for a named measure."""
     return MEASURES[measure](a, b, **params)

@@ -505,6 +505,11 @@ TRANSFORMERS.update(
 )
 
 
+from silk_spark.functions.spatial import SPATIAL_TRANSFORMERS  # noqa: E402
+
+TRANSFORMERS.update(SPATIAL_TRANSFORMERS)
+
+
 def transform(name: str, *cols, **params) -> Column:
     """Registry dispatch (PluginFactory analogue, reference
     silk-core/.../runtime/plugin/)."""

@@ -63,7 +63,7 @@ def _worst_case_compact_line() -> str:
         "queries": queries,
         "total_query_sec": 99999.9,
     }
-    return json.dumps(compact)
+    return json.dumps(compact, separators=(",", ":"))
 
 
 def test_compact_line_fits_driver_tail_with_all_queries():
