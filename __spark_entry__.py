@@ -341,6 +341,54 @@ def q_format_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("format", "n_rows", "n_names", "sum_key", "sum_namelen")
 
 
+def q_graphstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph Store Protocol sink round-trip (GraphStoreSink.scala:27-160
+    via sources/graphstore.py): supplier rows become URI-object and
+    literal-object N-Triples statements in one codegen projection,
+    every partition POSTs its own <=4 KB chunked requests to a
+    directory-backed store (the Spark-side plumbing is identical for
+    the HTTP transport), and the accumulated graph is read back
+    through the N-Triples parser. The oracle recomputes the
+    per-predicate aggregates straight from the parquet — equality
+    proves formatter, chunk rotation, store, and parser are jointly
+    lossless, including literal escaping (s_name is free text)."""
+    from silk_spark.sources.graphstore import (
+        DirGraphStore,
+        nt_statement,
+        upload_graph,
+    )
+
+    sup = _t(spark, sf_dir, "supplier")
+    uri = F.concat(F.lit("http://ex.org/supplier/"), F.col("s_suppkey"))
+    lines = sup.select(
+        nt_statement(
+            uri, F.lit("http://ex.org/p/name"), F.col("s_name"), False
+        ).alias("line")
+    ).unionByName(
+        sup.select(
+            nt_statement(
+                uri,
+                F.lit("http://ex.org/p/nation"),
+                F.concat(F.lit("http://ex.org/nation/"), F.col("s_nationkey")),
+                True,
+            ).alias("line")
+        )
+    )
+    store = DirGraphStore(tempfile.mkdtemp(prefix="silk_spark_gsp_"))
+    graph = "http://ex.org/graph/suppliers"
+    upload_graph(lines, store, graph, max_request_bytes=4096, drop_first=True)
+    back = store.read_graph(spark, graph)
+    return (
+        back.groupBy("predicate")
+        .agg(
+            F.count("*").cast("bigint").alias("n_triples"),
+            F.countDistinct("subject").cast("bigint").alias("n_subjects"),
+            F.sum(F.length("object")).cast("bigint").alias("obj_len_sum"),
+        )
+        .select("predicate", "n_triples", "n_subjects", "obj_len_sum")
+    )
+
+
 def q_learn_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-learning link selection by uncertainty sampling
     (EntropySelector.scala:29-41 argmax vote-entropy, batch top-k form;
@@ -1359,6 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "learn_select_divergence": q_learn_select_divergence,
         "workflow_pipeline": q_workflow_pipeline,
         "format_roundtrip": q_format_roundtrip,
+        "graphstore_roundtrip": q_graphstore_roundtrip,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1705,6 +1754,19 @@ UNION ALL
 SELECT 'json' AS format, n_rows, n_names, sum_key, sum_namelen FROM a
 UNION ALL
 SELECT 'xml' AS format, n_rows, n_names, sum_key, sum_namelen FROM a
+""",
+        "graphstore_roundtrip": """
+SELECT 'http://ex.org/p/name' AS predicate,
+       count(*)::BIGINT AS n_triples,
+       count(DISTINCT s_suppkey)::BIGINT AS n_subjects,
+       CAST(sum(length(s_name)) AS BIGINT) AS obj_len_sum
+FROM supplier
+UNION ALL
+SELECT 'http://ex.org/p/nation' AS predicate,
+       count(*)::BIGINT AS n_triples,
+       count(DISTINCT s_suppkey)::BIGINT AS n_subjects,
+       CAST(sum(length('http://ex.org/nation/' || s_nationkey)) AS BIGINT) AS obj_len_sum
+FROM supplier
 """,
         "learn_select_uncertain": """
 WITH links AS (

@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "learn_select_divergence",
     "workflow_pipeline",
     "format_roundtrip",
+    "graphstore_roundtrip",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",
