@@ -1255,6 +1255,79 @@ def q_measure_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# CJK driver fixtures: 10 full-reading characters (public Unicode
+# Unihan data) keyed to digits, so CJK test strings derive
+# deterministically from p_partkey via translate() on BOTH engines.
+_CJK10 = "祚胙賈逵範似道南風川"
+_CJK_READINGS = {
+    "祚": ("조", "CO", "zuò", "SAIWAI", "SO"),
+    "胙": ("조", "CO", "zuò", "HIMOROGI", "SO SAKU"),
+    "賈": ("가 고", "KA KO", "jiǎ", "AKINAU AKINAI URU", "KO"),
+    "逵": ("규", "KYU", "kuí", "OUJI", "KI"),
+    "範": ("범", "PEM", "fàn", "NORI", "HAN"),
+    "似": ("사", "SA", "shì", "NIRU", "JI"),
+    "道": ("도", "TO", "dào", "MICHI IU MICHIBIKU", "DOU TOU"),
+    "南": ("남", "NAM", "nán", "MINAMI", "NAN DAN"),
+    "風": ("풍", "PHWUNG", "fēng", "KAZE", "FUU FU"),
+    "川": ("천", "CHEN", "chuān", "KAWA", "SEN"),
+}
+_HANGUL10 = "가나다라마바사자한고"
+
+
+def q_measure_cjk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CJK/Korean measure slice (functions/cjk.py; reference
+    silk-plugins-asian CJKReadingDistance.scala:30-181 +
+    KoreanTranslitDistance.scala:28-122): cjkReadingDistance over
+    partkey-derived CJK strings (adjacent-key pairs, literal-map JVM
+    expression path — whole-stage codegen, zero Python) and
+    koreanTranslitDistance over the adjacent part-name pairs. The
+    oracle recomputes the reading distance from the same 10-row
+    public-Unihan dictionary as a VALUES CTE + positional unnest
+    join, and the transliteration as levenshtein over translate()."""
+    from silk_spark.functions.cjk import cjk_reading_distance, korean_translit_distance
+
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_name")
+    l = part.select(F.col("p_partkey").alias("key"), F.col("p_name").alias("a"))
+    r = part.select((F.col("p_partkey") - 1).alias("key"), F.col("p_name").alias("b"))
+    pairs = l.join(r, "key")
+    ca = F.translate(F.col("key").cast("string"), "0123456789", _CJK10)
+    cb = F.translate((F.col("key") - 1).cast("string"), "0123456789", _CJK10)
+    return pairs.filter(F.col("key") > 1).select(
+        "key",
+        cjk_reading_distance(ca, cb, _CJK_READINGS).alias("cjk_dist"),
+        korean_translit_distance(F.col("a"), F.col("b")).cast("int").alias("translit"),
+    )
+
+
+def q_measure_phoneme(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """koreanPhonemeDistance (functions/cjk.py; reference
+    KoreanPhonemeDistance.scala:31-123, implementing the INTENDED
+    level-0 semantics its own @ignore-d tests expect) over
+    partkey-derived Hangul strings, restricted to the aligned
+    (equal-length) slice so the oracle can replay the per-syllable
+    jamo levenshtein + (sd-1)*3+minPd fold in pure SQL — the
+    blank-alignment combinatorics are pinned by tests/test_cjk.py
+    goldens instead. Zero joins: both strings derive from p_partkey."""
+    from silk_spark.functions.cjk import korean_phoneme_distance
+
+    part = _t(spark, sf_dir, "part").select("p_partkey")
+    a = F.translate(F.col("p_partkey").cast("string"), "0123456789", _HANGUL10)
+    b = F.translate((F.col("p_partkey") - 1).cast("string"), "0123456789", _HANGUL10)
+    return (
+        part.filter(
+            (F.col("p_partkey") > 1)
+            & (
+                F.length(F.col("p_partkey").cast("string"))
+                == F.length((F.col("p_partkey") - 1).cast("string"))
+            )
+        )
+        .select(
+            F.col("p_partkey").alias("key"),
+            korean_phoneme_distance(a, b).cast("int").alias("kpd"),
+        )
+    )
+
+
 def q_spatial_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spatial link job over the envelope/point slice
     (functions/spatial.py; reference spatial/relation/WithinMetric.scala:27
@@ -1470,6 +1543,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "transform_chain": q_transform_chain,
         "measure_catalog": q_measure_catalog,
+        "measure_cjk": q_measure_cjk,
+        "measure_phoneme": q_measure_phoneme,
         "spatial_join": q_spatial_join,
         "filter_pushdown": q_filter_pushdown,
         "profile_stats": q_profile_stats,
@@ -2214,6 +2289,61 @@ SELECT key,
        round(2.0 * len(list_distinct(list_intersect(string_split(a,' '), string_split(b,' '))))
              / (len(list_distinct(string_split(a,' '))) + len(list_distinct(string_split(b,' ')))), 6) AS tok_dice
 FROM pairs
+""",
+        "measure_cjk": """
+WITH dict(ch, h, k, m, kun, onr) AS (VALUES
+  ('祚','조','CO','zuò','SAIWAI','SO'),
+  ('胙','조','CO','zuò','HIMOROGI','SO SAKU'),
+  ('賈','가 고','KA KO','jiǎ','AKINAU AKINAI URU','KO'),
+  ('逵','규','KYU','kuí','OUJI','KI'),
+  ('範','범','PEM','fàn','NORI','HAN'),
+  ('似','사','SA','shì','NIRU','JI'),
+  ('道','도','TO','dào','MICHI IU MICHIBIKU','DOU TOU'),
+  ('南','남','NAM','nán','MINAMI','NAN DAN'),
+  ('風','풍','PHWUNG','fēng','KAZE','FUU FU'),
+  ('川','천','CHEN','chuān','KAWA','SEN')),
+chardist AS (
+  SELECT a.ch AS ca, b.ch AS cb,
+         CASE WHEN a.ch = b.ch THEN 0 ELSE
+           (a.h != b.h)::INT + (a.k != b.k)::INT + (a.m != b.m)::INT
+           + (a.kun != b.kun)::INT + (a.onr != b.onr)::INT END AS d
+  FROM dict a, dict b),
+pairs AS (
+  SELECT l.p_partkey AS key, l.p_name AS a, r.p_name AS b,
+         reverse(translate(CAST(l.p_partkey AS VARCHAR), '0123456789', '祚胙賈逵範似道南風川')) AS la,
+         reverse(translate(CAST(l.p_partkey - 1 AS VARCHAR), '0123456789', '祚胙賈逵範似道南風川')) AS lb
+  FROM part l JOIN part r ON l.p_partkey = r.p_partkey - 1
+  WHERE l.p_partkey > 1),
+ex AS (SELECT key, la, lb, unnest(range(length(la))) AS i FROM pairs)
+SELECT ex.key,
+       CAST(sum(CASE WHEN i >= length(ex.lb) THEN 5 ELSE cd.d END) AS INT) AS cjk_dist,
+       any_value(levenshtein(
+         replace(translate(lower(p.a), 'gdbl', 'ktpr'), ' ', ''),
+         replace(translate(lower(p.b), 'gdbl', 'ktpr'), ' ', ''))) AS translit
+FROM ex
+JOIN pairs p ON p.key = ex.key
+LEFT JOIN chardist cd ON cd.ca = ex.la[i+1] AND cd.cb = ex.lb[i+1]
+GROUP BY ex.key
+""",
+        "measure_phoneme": """
+WITH ph(ch, p) AS (VALUES
+  ('가','ga'), ('나','na'), ('다','da'), ('라','ra'), ('마','ma'),
+  ('바','ba'), ('사','sa'), ('자','ja'), ('한','han'), ('고','go')),
+pairs AS (
+  SELECT p_partkey AS key,
+         translate(CAST(p_partkey AS VARCHAR), '0123456789', '가나다라마바사자한고') AS a,
+         translate(CAST(p_partkey - 1 AS VARCHAR), '0123456789', '가나다라마바사자한고') AS b
+  FROM part
+  WHERE p_partkey > 1
+    AND length(CAST(p_partkey AS VARCHAR)) = length(CAST(p_partkey - 1 AS VARCHAR))),
+ex AS (SELECT key, a, b, unnest(range(length(a))) AS i FROM pairs),
+d AS (SELECT key, levenshtein(pl.p, pr.p) AS dj
+      FROM ex JOIN ph pl ON pl.ch = a[i+1] JOIN ph pr ON pr.ch = b[i+1]),
+agg AS (SELECT key, sum((dj > 0)::INT) AS sd,
+               min(CASE WHEN dj > 0 THEN dj END) AS minpd
+        FROM d GROUP BY key)
+SELECT key, CAST(CASE WHEN sd = 0 THEN 0 ELSE (sd - 1) * 3 + minpd END AS INT) AS kpd
+FROM agg
 """,
         "spatial_join": """
 WITH pt AS (

@@ -277,6 +277,8 @@ BENCH_QUERIES = [
     "transform_chain",
     "transform_validate",
     "measure_catalog",
+    "measure_cjk",
+    "measure_phoneme",
     "spatial_join",
     "allen_relations",
     "agg_pricing_summary",

@@ -577,6 +577,13 @@ from silk_spark.functions.spatial import SPATIAL_MEASURES  # noqa: E402
 
 MEASURES.update(SPATIAL_MEASURES)
 
+# CJK/Korean measures (AsianPlugins.scala registration; functions/cjk.py
+# for semantics — pure Unicode arithmetic + caller-supplied public
+# Unihan readings, no external libraries)
+from silk_spark.functions.cjk import CJK_MEASURES  # noqa: E402
+
+MEASURES.update(CJK_MEASURES)
+
 
 def distance(measure: str, a: Column, b: Column, **params) -> Column:
     """Registry dispatch: distance column for a named measure."""
