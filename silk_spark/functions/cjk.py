@@ -46,6 +46,10 @@ the reference's own *intended* semantics):
   of 0 for shinhanbank/sinhanbank; the published algorithm (g->k,
   d->t, b->p, l->r, then levenshtein) gives 1 — this implementation
   follows the algorithm, not the abandoned expectation.
+* cjkReadingDistance orients by RAW length BEFORE stripping spaces
+  (CJKReadingDistance.scala:38-47), so space padding can flip the
+  comparison base and break symmetry; reproduced faithfully and
+  pinned in tests/test_cjk.py::test_cjk_reading_orientation_quirk.
 """
 
 from __future__ import annotations

@@ -179,3 +179,57 @@ def test_registry_exposure():
 
     for name in ("koreanTranslitDistance", "koreanPhonemeDistance", "cjkReadingDistance"):
         assert name in MEASURES
+
+
+# ---------------------------------------------------------------------------
+# property tests (hypothesis): algebraic invariants of the scalars
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_hangul = st.text(
+    alphabet=[chr(c) for c in range(0xAC00, 0xAC00 + 600)], min_size=0, max_size=6
+)
+# space-free: the reference orients by RAW length BEFORE stripping
+# spaces (CJKReadingDistance.scala:38-47), so spaces can flip the
+# comparison base and break symmetry — pinned separately below.
+_cjk_chars = st.text(alphabet=list(READINGS) + ["X"], min_size=0, max_size=8)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_hangul, _hangul)
+def test_phoneme_symmetry_and_identity(a, b):
+    # evaluate() orients by length, so the measure is symmetric by
+    # construction; equal inputs are distance 0
+    assert korean_phoneme_scalar(a, b) == korean_phoneme_scalar(b, a)
+    assert korean_phoneme_scalar(a, a) == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(_hangul, _hangul)
+def test_phoneme_zero_iff_space_stripped_equal(a, b):
+    d = korean_phoneme_scalar(a, b)
+    assert d >= 0
+    if a.replace(" ", "") == b.replace(" ", ""):
+        assert d == 0.0
+
+
+@settings(max_examples=60, deadline=None)
+@given(_cjk_chars, _cjk_chars)
+def test_cjk_reading_symmetry_and_bounds(a, b):
+    d = cjk_reading_scalar(a, b, READINGS)
+    assert d == cjk_reading_scalar(b, a, READINGS)
+    assert 0 <= d <= 5 * max(len(a), len(b), 1)
+    assert cjk_reading_scalar(a, a, READINGS) == 0
+
+
+def test_cjk_reading_orientation_quirk():
+    """Reference fidelity pin: evaluate() picks the comparison base by
+    RAW length (ties -> str2) before stripping spaces
+    (CJKReadingDistance.scala:38-47), so a space can flip the base and
+    the measure is NOT symmetric across padded inputs — '祚祚' vs
+    '祚 ' bases on the stripped 1-char side (distance 0), while the
+    swap bases on the 2-char side (+5 for the unmatched position)."""
+    assert cjk_reading_scalar("祚祚", "祚 ", READINGS) == 0
+    assert cjk_reading_scalar("祚 ", "祚祚", READINGS) == 5

@@ -174,3 +174,30 @@ def test_ivf_broadcast_assignment_has_no_giant_codegen(spark):
         sim.INLINE_CENTROID_FLOATS = old
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "Arguments: hashpartitioning" not in plan
+
+
+def test_measure_cjk_plan_is_pure_jvm_broadcast(spark):
+    """q_measure_cjk (the CJK reading + translit slice): the literal-map
+    reading expression and translate+levenshtein must stay whole-stage
+    codegen — no Python node — and the adjacent-key self-join must
+    broadcast, with the key filter pushed into the parquet scan."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_measure_cjk(spark, "/root/testdata/sf0.001"))
+    for node in ("BatchEvalPython", "ArrowEvalPython", "PythonUDF", "MapInPandas"):
+        assert node not in plan, f"per-row Python ({node}) in measure_cjk plan"
+    assert "BroadcastHashJoin" in plan
+    assert "GreaterThan(p_partkey,1)" in plan  # pushed to the scan
+
+
+def test_measure_phoneme_plan_single_arrow_no_shuffle(spark):
+    """q_measure_phoneme: exactly one Arrow eval over a pruned
+    single-column scan, zero exchanges (both strings derive from
+    p_partkey — no join anywhere)."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_measure_phoneme(spark, "/root/testdata/sf0.001"))
+    # one node; the formatted plan names each node twice (tree + detail)
+    assert plan.count("ArrowEvalPython") == 2
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<p_partkey:bigint>" in plan
