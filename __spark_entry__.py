@@ -1003,6 +1003,16 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(_t(spark, sf_dir, "documents")).orderBy("fingerprint")
 
 
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated 8-token spans (substring-level dedup,
+    Lee et al. 2022 form — operators/dedup_suite.duplicate_spans):
+    zero-shuffle positional window fold, two hash-only partial-agg
+    exchanges, span text never shuffled."""
+    from silk_spark.operators.dedup_suite import duplicate_spans
+
+    return duplicate_spans(_t(spark, sf_dir, "documents"), window=8)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs at >= 0.5 (token-block
     candidates + exact verify)."""
@@ -1526,6 +1536,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "agg_revenue_by_nation": q_agg_revenue_by_nation,
         "window_top_orders": q_window_top_orders,
         "dedup_exact": q_dedup_exact,
+        "dedup_spans": q_dedup_spans,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2205,6 +2216,15 @@ WITH r AS (
 )
 SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank
 FROM r WHERE rank <= 3
+""",
+        "dedup_spans": f"""
+WITH tw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+ex AS (SELECT doc_id, w, unnest(range(len(w) - 8 + 1)) AS i
+       FROM tw WHERE len(w) >= 8),
+win AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM ex),
+pd AS (SELECT h, doc_id, count(*) AS occ FROM win GROUP BY h, doc_id)
+SELECT h AS span_hash, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
+FROM pd GROUP BY h HAVING count(*) >= 2
 """,
         "dedup_exact": f"""
 SELECT md5({_NORM_SQL}) AS fingerprint,

@@ -286,6 +286,7 @@ BENCH_QUERIES = [
     "window_top_orders",
     "events_sessionize",
     "dedup_exact",
+    "dedup_spans",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -283,6 +283,68 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def span_windows(c: Column, n: int) -> Column:
+    """ALL positional word n-gram windows (stride 1, duplicates and
+    order kept — unlike word_shingles' distinct set) of normalized
+    text, as array<string>. Same zip_with-fold formulation as
+    word_shingles for the same reason: the token array sits in
+    argument position and is evaluated once per row, not once per
+    window element. Documents shorter than ``n`` tokens yield an
+    empty array (no padded partial window)."""
+    toks = F.split(normalize_text(c), " ")
+    k = F.size(toks) - (n - 1)
+    grams = F.slice(toks, 1, F.greatest(k, F.lit(1)))
+    for j in range(1, n):
+        grams = F.zip_with(
+            grams,
+            F.slice(toks, 1 + j, F.greatest(k, F.lit(1))),
+            lambda a, b: F.concat_ws(" ", a, b),
+        )
+    return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicated token-span detection — the substring-level
+    dedup of Lee et al. 2022 ("Deduplicating Training Data Makes
+    Language Models Better"), reduced to its Spark-native core: every
+    width-``window`` token span (stride 1) is md5-fingerprinted and
+    spans occurring in >= ``min_docs`` DISTINCT documents are
+    reported with their document and occurrence counts. Catches
+    boilerplate/quotation overlap that whole-document near-dup
+    (minhash/simhash) misses because the containing documents differ.
+
+    Scale shape: the window fold is a pure projection (zero shuffle),
+    then TWO partial-agg shuffles — (span_hash, doc) to collapse
+    within-doc repeats, span_hash for the cross-doc counts — chosen
+    over a single countDistinct agg, whose Expand doubles the
+    exploded-row volume entering the first exchange. Both shuffles
+    carry the 32-char hash, never the span text. Hot spans (stop-word
+    runs) cannot skew the FIRST exchange beyond one row per
+    (span, doc); the second exchange sees one row per (span, doc) —
+    bounded by corpus size, salting unneeded."""
+    df = _parallel(df)
+    w = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(span_windows(F.col(text_col), window)).alias("span"),
+    )
+    per_doc = (
+        w.select("doc_id", F.md5(F.col("span").cast("binary")).alias("span_hash"))
+        .groupBy("span_hash", "doc_id")
+        .agg(F.count("*").alias("occ"))
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------

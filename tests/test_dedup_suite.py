@@ -287,3 +287,57 @@ class TestContentGuardAndRelease:
                 spark.conf.unset("spark.silk.signatures.impl")
         assert outs["arrow", "mh"] == outs["jvm", "mh"]
         assert outs["arrow", "sh"] == outs["jvm", "sh"]
+
+
+class TestDuplicateSpans:
+    def test_planted_shared_span(self, spark):
+        shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+        df = spark.createDataFrame(
+            [
+                (1, f"intro words {shared} tail one"),
+                (2, f"other prefix here {shared}"),
+                (3, "completely unrelated text with no overlap at all ok"),
+                (4, f"{shared} {shared}"),  # in-doc repeat: occ 2, doc 1
+            ],
+            "doc_id bigint, text string",
+        )
+        out = ds.duplicate_spans(df, window=8).collect()
+        # the planted span must be reported once, across 3 docs, with
+        # 4 occurrences (doc 4 carries it twice at stride 1... plus the
+        # bridging windows of doc 4 are unique -> not reported)
+        import hashlib
+
+        h = hashlib.md5(shared.encode()).hexdigest()
+        rows = {r["span_hash"]: r for r in out}
+        assert h in rows
+        assert rows[h]["n_docs"] == 3 and rows[h]["n_occ"] == 4
+
+    def test_short_docs_yield_nothing(self, spark):
+        df = spark.createDataFrame(
+            [(1, "only four tokens here"), (2, "only four tokens here")],
+            "doc_id bigint, text string",
+        )
+        assert ds.duplicate_spans(df, window=8).count() == 0
+
+    def test_span_windows_match_python(self, spark):
+        txt = "a b c d e f g h i j"
+        df = spark.createDataFrame([(txt,)], "text string")
+        got = df.select(ds.span_windows(F.col("text"), 8).alias("w")).first()["w"]
+        toks = txt.split()
+        want = [" ".join(toks[i : i + 8]) for i in range(len(toks) - 7)]
+        assert got == want
+
+    def test_plan_shuffles_hash_only(self, spark, docs):
+        """Two exchanges, both AFTER the md5 projection: the span text
+        must never be a shuffle column."""
+        plan = (
+            ds.duplicate_spans(docs, window=8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for node in ("BatchEvalPython", "ArrowEvalPython", "Expand"):
+            assert node not in plan
+        import re
+
+        assert "span#" not in "".join(re.findall(r"hashpartitioning\([^)]*\)", plan))
