@@ -1013,6 +1013,16 @@ def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_spans(_t(spark, sf_dir, "documents"), window=8)
 
 
+def q_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-dedup REMOVAL (dedup_suite.strip_duplicate_spans):
+    every width-8 duplicated span keeps only its globally-first
+    occurrence; per doc the cleaned token stream is md5-fingerprinted
+    so the oracle hash-compares rebuilt text without shipping it."""
+    from silk_spark.operators.dedup_suite import strip_duplicate_spans
+
+    return strip_duplicate_spans(_t(spark, sf_dir, "documents"), window=8)
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs at >= 0.5 (token-block
     candidates + exact verify)."""
@@ -1537,6 +1547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top_orders": q_window_top_orders,
         "dedup_exact": q_dedup_exact,
         "dedup_spans": q_dedup_spans,
+        "dedup_strip": q_dedup_strip,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2225,6 +2236,26 @@ win AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM ex),
 pd AS (SELECT h, doc_id, count(*) AS occ FROM win GROUP BY h, doc_id)
 SELECT h AS span_hash, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
 FROM pd GROUP BY h HAVING count(*) >= 2
+""",
+        "dedup_strip": f"""
+WITH tw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+ex AS (SELECT doc_id, w, unnest(range(len(w) - 8 + 1)) AS i FROM tw WHERE len(w) >= 8),
+sp AS (SELECT doc_id, i, md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM ex),
+dup AS (SELECT h, min(doc_id * 1048576 + i) AS keeper
+        FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+rm AS (SELECT sp.doc_id, sp.i FROM sp JOIN dup ON dup.h = sp.h
+       WHERE sp.doc_id * 1048576 + sp.i != dup.keeper),
+cov AS (SELECT DISTINCT doc_id, p FROM (SELECT doc_id, unnest(range(i, i + 8)) AS p FROM rm)),
+agg AS (SELECT doc_id, list(p) AS rp, count(*) AS n_removed FROM cov GROUP BY doc_id)
+SELECT tw.doc_id,
+       CAST(len(tw.w) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed,
+       md5(coalesce(array_to_string(
+         list_filter(
+           list_transform(range(len(tw.w)),
+             j -> CASE WHEN agg.rp IS NULL OR NOT list_contains(agg.rp, j) THEN tw.w[j+1] END),
+           x -> x IS NOT NULL), ' '), '')) AS clean_fp
+FROM tw LEFT JOIN agg USING (doc_id)
 """,
         "dedup_exact": f"""
 SELECT md5({_NORM_SQL}) AS fingerprint,

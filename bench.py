@@ -287,6 +287,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "dedup_exact",
     "dedup_spans",
+    "dedup_strip",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -283,15 +283,12 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
-def span_windows(c: Column, n: int) -> Column:
-    """ALL positional word n-gram windows (stride 1, duplicates and
-    order kept — unlike word_shingles' distinct set) of normalized
-    text, as array<string>. Same zip_with-fold formulation as
-    word_shingles for the same reason: the token array sits in
-    argument position and is evaluated once per row, not once per
-    window element. Documents shorter than ``n`` tokens yield an
-    empty array (no padded partial window)."""
-    toks = F.split(normalize_text(c), " ")
+def _window_fold(toks: Column, n: int) -> Column:
+    """zip_with fold of n shifted slices of a token array: all
+    positional n-gram windows, stride 1, order and duplicates kept.
+    The token array sits in argument position (evaluated once per
+    row), never inside a lambda body — see word_shingles for the
+    measured O(words²) trap the fold avoids."""
     k = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, F.greatest(k, F.lit(1)))
     for j in range(1, n):
@@ -301,6 +298,14 @@ def span_windows(c: Column, n: int) -> Column:
             lambda a, b: F.concat_ws(" ", a, b),
         )
     return F.when(k >= 1, grams).otherwise(F.array().cast("array<string>"))
+
+
+def span_windows(c: Column, n: int) -> Column:
+    """ALL positional word n-gram windows (stride 1, duplicates and
+    order kept — unlike word_shingles' distinct set) of normalized
+    text, as array<string>. Documents shorter than ``n`` tokens yield
+    an empty array (no padded partial window)."""
+    return _window_fold(F.split(normalize_text(c), " "), n)
 
 
 def duplicate_spans(
@@ -342,6 +347,79 @@ def duplicate_spans(
         per_doc.groupBy("span_hash")
         .agg(F.count("*").alias("n_docs"), F.sum("occ").alias("n_occ"))
         .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+# Keeper ordering for strip_duplicate_spans: occurrences are ranked by
+# doc_id * 2^20 + position, so token positions must fit in 20 bits.
+# Past ~10^6 tokens a "document" is a corpus concatenation bug, so the
+# failure mode is a clear cap (rdf.py vocabulary-cap policy), not a
+# silent wrong keeper.
+_SPAN_POS_BITS = 1 << 20
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level dedup REMOVAL (the second half of Lee et al.
+    2022): for every width-``window`` token span duplicated across
+    >= ``min_docs`` documents, keep only the globally-first occurrence
+    (min doc_id, then min position — engine-portable total order) and
+    drop every token covered by any other occurrence. Returns one row
+    per document: (doc_id, n_tokens, n_removed, clean_fp) where
+    clean_fp is the md5 of the cleaned, space-joined token stream —
+    compact enough to hash-compare against the DuckDB oracle without
+    shipping rebuilt text through the compare.
+
+    Scale shape: window fold + md5 are projections; the duplicate
+    census shuffles only (hash, doc, pos); coverage positions explode
+    window-fold wide but collapse by (doc, pos) with partial agg
+    before the per-doc gather; the final rebuild is a higher-order
+    filter over the token array — per-row, no Python. The per-doc
+    removed-position set is bounded by the document's own token count."""
+    df = _parallel(df)
+    toks_col = F.filter(F.split(normalize_text(F.col(text_col)), " "), lambda x: x != "")
+    base = df.select(F.col(id_col).alias("doc_id"), toks_col.alias("toks"))
+    spans = base.select(
+        "doc_id",
+        F.posexplode(_window_fold(F.col("toks"), window)).alias("pos", "span"),
+    ).select(
+        "doc_id", "pos", F.md5(F.col("span").cast("binary")).alias("h")
+    )
+    occ_key = F.col("doc_id") * _SPAN_POS_BITS + F.col("pos")
+    dup = (
+        spans.groupBy("h")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(occ_key).alias("keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("h", "keeper")
+    )
+    removable = spans.join(dup, "h").filter(occ_key != F.col("keeper"))
+    cov = (
+        removable.select(
+            "doc_id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + (window - 1))).alias("p"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("p").alias("rp"))
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(
+            F.coalesce(F.col("rp"), F.array().cast("array<int>")), i
+        ),
+    )
+    return base.join(cov, "doc_id", "left").select(
+        "doc_id",
+        F.size("toks").alias("n_tokens"),
+        F.coalesce(F.size("rp"), F.lit(0)).alias("n_removed"),
+        F.md5(F.concat_ws(" ", kept).cast("binary")).alias("clean_fp"),
     )
 
 

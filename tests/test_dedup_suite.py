@@ -341,3 +341,41 @@ class TestDuplicateSpans:
         import re
 
         assert "span#" not in "".join(re.findall(r"hashpartitioning\([^)]*\)", plan))
+
+
+class TestStripDuplicateSpans:
+    def test_keeper_survives_others_stripped(self, spark):
+        import hashlib
+
+        shared = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                (1, f"{shared} x"),          # global keeper (min doc, pos 0)
+                (2, f"y {shared}"),          # loses positions 1..8
+                (3, "no overlap with anything else at all here now"),
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in ds.strip_duplicate_spans(df, window=8).collect()}
+        assert got[1]["n_removed"] == 0
+        assert got[1]["clean_fp"] == hashlib.md5(f"{shared} x".encode()).hexdigest()
+        assert got[2]["n_removed"] == 8
+        assert got[2]["clean_fp"] == hashlib.md5(b"y").hexdigest()
+        assert got[3]["n_removed"] == 0
+
+    def test_exact_copy_strips_to_empty(self, spark):
+        import hashlib
+
+        text = "one two three four five six seven eight nine ten"
+        df = spark.createDataFrame(
+            [(1, text), (2, text)], "doc_id bigint, text string"
+        )
+        got = {r["doc_id"]: r for r in ds.strip_duplicate_spans(df, window=8).collect()}
+        assert got[1]["n_removed"] == 0
+        assert got[2]["n_removed"] == 10  # overlapping windows cover all tokens
+        assert got[2]["clean_fp"] == hashlib.md5(b"").hexdigest()
+
+    def test_row_per_document_always(self, spark, docs):
+        out = ds.strip_duplicate_spans(docs, window=8)
+        assert out.count() == docs.count()
+        assert out.filter(F.col("n_removed") > F.col("n_tokens")).count() == 0
