@@ -1236,6 +1236,15 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (operators/text.py
+    repetition_signals): duplicate word/2-gram/3-gram fractions per
+    document — one zero-shuffle projection."""
+    from silk_spark.operators.text import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_transform_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transformer-catalog chain (TransformRule analogue): normalize,
     tokenize, sort, rejoin; plus regex extraction and defaults."""
@@ -1563,6 +1572,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
+        "text_repetition": q_text_repetition,
         "transform_chain": q_transform_chain,
         "measure_catalog": q_measure_catalog,
         "measure_cjk": q_measure_cjk,
@@ -2317,6 +2327,26 @@ SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS finge
 FROM documents
 """,
         "text_quality": _quality_oracle(),
+        "text_repetition": """
+WITH tw AS (
+  SELECT doc_id,
+         list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS w
+  FROM documents
+),
+g AS (
+  SELECT doc_id, w,
+    list_transform(range(CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE 0 END),
+                   i -> array_to_string(w[i+1:i+2], ' ')) AS g2,
+    list_transform(range(CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE 0 END),
+                   i -> array_to_string(w[i+1:i+3], ' ')) AS g3
+  FROM tw
+)
+SELECT doc_id,
+  CASE WHEN len(w) > 0 THEN round(1 - len(list_distinct(w))::DOUBLE / len(w), 6) ELSE 0.0 END AS dup_word_frac,
+  CASE WHEN len(g2) > 0 THEN round(1 - len(list_distinct(g2))::DOUBLE / len(g2), 6) ELSE 0.0 END AS dup_2gram_frac,
+  CASE WHEN len(g3) > 0 THEN round(1 - len(list_distinct(g3))::DOUBLE / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac
+FROM g
+""",
         "transform_chain": """
 SELECT p_partkey,
        array_to_string(list_sort(list_filter(string_split(trim(lower(p_name)), ' '), x -> x != '')), '_') AS name_key,

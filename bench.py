@@ -298,6 +298,7 @@ BENCH_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_probe",
     "text_quality",
+    "text_repetition",
     "text_lang_id",
     "text_token_count",
     "text_fingerprint",

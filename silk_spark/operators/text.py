@@ -138,3 +138,36 @@ def profile_documents(df: DataFrame, text_col: str = "text", id_col: str = "doc_
         quality_score(c).alias("quality"),
         doc_fingerprint(c).alias("fingerprint"),
     )
+
+
+def _dup_frac(arr: Column) -> Column:
+    """1 - distinct/total over an array; 0 for empty arrays."""
+    return F.when(
+        F.size(arr) > 0,
+        F.round(
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / F.size(arr), 6
+        ),
+    ).otherwise(F.lit(0.0))
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style in-document repetition filters (Rae et al. 2021,
+    "Scaling Language Models", App. A1.1: documents dominated by
+    repeated words/n-grams are boilerplate or degenerate generations
+    and get filtered before training): per document, the fraction of
+    duplicate words, duplicate 2-grams and duplicate 3-grams
+    (1 - distinct/total; 0 when the doc is shorter than the window).
+    A single projection — the n-gram arrays come from the same
+    zip_with window fold the dedup suite uses — so the operator is
+    zero-shuffle at any corpus size."""
+    from silk_spark.operators.dedup_suite import _window_fold
+
+    toks = _tokens(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        _dup_frac(toks).alias("dup_word_frac"),
+        _dup_frac(_window_fold(toks, 2)).alias("dup_2gram_frac"),
+        _dup_frac(_window_fold(toks, 3)).alias("dup_3gram_frac"),
+    )

@@ -242,3 +242,37 @@ class TestLloydMeansParity:
         cents = ivf_build_centroids(emb, n_centroids=2, n_iters=1)
         plan = cents._jdf.queryExecution().executedPlan().toString()
         assert "Generate posexplode" not in plan, plan
+
+
+class TestRepetitionSignals:
+    def test_planted_fractions(self, spark):
+        from silk_spark.operators.text import repetition_signals
+
+        df = spark.createDataFrame(
+            [
+                (1, "a a a a"),           # words 1-1/4, 2g 1-1/3, 3g 1-1/2
+                (2, "w x y z"),           # all distinct -> 0 everywhere
+                (3, "solo"),              # shorter than any window -> 0
+                (4, ""),                  # empty -> 0
+            ],
+            "doc_id bigint, text string",
+        )
+        got = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+        assert got[1]["dup_word_frac"] == 0.75
+        assert got[1]["dup_2gram_frac"] == round(1 - 1 / 3, 6)
+        assert got[1]["dup_3gram_frac"] == 0.5
+        for d in (2, 3, 4):
+            assert got[d]["dup_word_frac"] == 0.0
+            assert got[d]["dup_2gram_frac"] == 0.0
+            assert got[d]["dup_3gram_frac"] == 0.0
+
+    def test_zero_shuffle_plan(self, spark):
+        from silk_spark.operators.text import repetition_signals
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = (
+            repetition_signals(docs)._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Exchange" not in plan
+        for node in ("BatchEvalPython", "ArrowEvalPython"):
+            assert node not in plan
