@@ -389,6 +389,69 @@ def q_graphstore_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_hierarchical_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical sink assembly (HierarchicalSink.scala:18-160 +
+    JsonEntityWriter.scala:13-105 via sources/hierarchical.py): a
+    3-level customer -> nation -> region hierarchy where URI-valued
+    cells reference child entities; the sink assembles one nested JSON
+    document per root with properties in spec order (attributes as
+    scalar fields, plain props as value arrays, refs expanded
+    depth-first). Spark-first: the reference's LMDB sorted-KV spill
+    cache for URI lookups is an equi-join here — assembly is a
+    bottom-up topological fixpoint of bounded shuffles, entirely in
+    codegen (to_json for escaping). The oracle rebuilds the exact JSON
+    text with DuckDB's to_json over the same joins — byte equality
+    proves field order, typing, escaping, and ref expansion."""
+    from silk_spark.sources.hierarchical import (
+        HierTable,
+        Prop,
+        assemble_entities,
+    )
+
+    cust = _t(spark, sf_dir, "customer")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    root = HierTable(
+        cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias("uri"),
+            F.array(F.col("c_name")).alias("name"),
+            F.array(F.col("c_mktsegment")).alias("mktsegment"),
+            F.array(
+                F.concat(F.lit("n"), F.col("c_nationkey").cast("string"))
+            ).alias("nation"),
+        ),
+        [
+            Prop("name", attribute=True),
+            Prop("mktsegment"),
+            Prop("nation", value_type="uri"),
+        ],
+    )
+    nested = [
+        HierTable(
+            nat.select(
+                F.concat(F.lit("n"), F.col("n_nationkey").cast("string")).alias(
+                    "uri"
+                ),
+                F.array(F.col("n_name")).alias("name"),
+                F.array(
+                    F.concat(F.lit("r"), F.col("n_regionkey").cast("string"))
+                ).alias("region"),
+            ),
+            [Prop("name", attribute=True), Prop("region", value_type="uri")],
+        ),
+        HierTable(
+            reg.select(
+                F.concat(F.lit("r"), F.col("r_regionkey").cast("string")).alias(
+                    "uri"
+                ),
+                F.array(F.col("r_name")).alias("name"),
+            ),
+            [Prop("name", attribute=True)],
+        ),
+    ]
+    return assemble_entities(root, nested).select("uri", "json")
+
+
 def q_learn_select_uncertain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Active-learning link selection by uncertainty sampling
     (EntropySelector.scala:29-41 argmax vote-entropy, batch top-k form;
@@ -1549,6 +1612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "workflow_pipeline": q_workflow_pipeline,
         "format_roundtrip": q_format_roundtrip,
         "graphstore_roundtrip": q_graphstore_roundtrip,
+        "hierarchical_assemble": q_hierarchical_assemble,
         "link_stringmap": q_link_stringmap,
         "path_backward": q_path_backward,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1913,6 +1977,17 @@ SELECT 'http://ex.org/p/nation' AS predicate,
        count(DISTINCT s_suppkey)::BIGINT AS n_subjects,
        CAST(sum(length('http://ex.org/nation/' || s_nationkey)) AS BIGINT) AS obj_len_sum
 FROM supplier
+""",
+        "hierarchical_assemble": """
+SELECT 'c' || CAST(c_custkey AS VARCHAR) AS uri,
+       '{"name":' || to_json(c_name)::VARCHAR ||
+       ',"mktsegment":' || to_json([c_mktsegment])::VARCHAR ||
+       ',"nation":[{"name":' || to_json(n_name)::VARCHAR ||
+       ',"region":[{"name":' || to_json(r_name)::VARCHAR ||
+       '}]}]}' AS json
+FROM customer
+JOIN nation ON n_nationkey = c_nationkey
+JOIN region ON r_regionkey = n_regionkey
 """,
         "learn_select_uncertain": """
 WITH links AS (

@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "workflow_pipeline",
     "format_roundtrip",
     "graphstore_roundtrip",
+    "hierarchical_assemble",
     "reconcile_turns",
     "link_part_names",
     "link_best_match",

@@ -27,10 +27,16 @@ _spec.loader.exec_module(_bench)
 def _worst_case_compact_line() -> str:
     """The compact payload exactly as bench.py's emit() shapes it,
     with every numeric field at its widest realistic rendering."""
-    # emit() renders compact query timings as whole seconds; a query
-    # can't plausibly exceed 4 integer digits inside the 1500 s
-    # deadline
-    queries = {name: 9999 for name in _bench.BENCH_QUERIES}
+    # emit() renders compact query timings as whole seconds. The query
+    # subprocess is hard-killed at qbudget <= 3600 s, so the SUM of all
+    # rendered timings is < 3600 — under that constraint the
+    # byte-maximal assignment is 142 total digits (greedy: 54 two-digit
+    # upgrades at 10 s each, then 34 three-digit upgrades at +90 s),
+    # strictly below the all-three-digit model used here (162 digits).
+    # One query CAN exceed 999 s, but every 4-digit entry burns >=1000 s
+    # of the sum that would otherwise buy ~30 digits as 100 s entries,
+    # so all-999 stays an upper bound on any feasible line.
+    queries = {name: 999 for name in _bench.BENCH_QUERIES}
     compact = {
         "metric": "change_events_per_sec_merge",
         "value": 99999999.9,
