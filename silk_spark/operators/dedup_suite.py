@@ -25,6 +25,8 @@ no bigint overflow under ANSI mode.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -150,24 +152,29 @@ def release_persisted(spark=None) -> int:
 
 
 def _signature_impl(df: DataFrame) -> str:
-    """Backend for the O(perms×tokens) signature arithmetic:
-    'arrow' (default) = one Arrow-batched numpy kernel per partition —
-    the per-doc hash array crosses to numpy ONCE and the 128-perm
-    mult-mod-min / 60-bit popcount runs as matrix ops; 'jvm' = pure
-    higher-order-function Columns. Both are BIT-IDENTICAL (same int64
-    arithmetic, pinned by tests) and zero-shuffle; HOFs are
-    interpreted (not codegen'd), which makes the 128-perm arithmetic
-    the cost center. Measured end-to-end at sf0.1 (warm, 32 cores):
-    minhash_lsh 9.4 s jvm → 5.6 s arrow; simhash is a wash (the md5
-    token hashing dominates it, and that stays JVM in both). Under
-    host contention the gap widens (round-3 official jvm: 48 s).
-    Token hashing (xxhash64 / md5) stays JVM-side either way.
-    Override with spark.silk.signatures.impl."""
+    """Backend for the signature computation:
+    'fused' (default) = ONE Arrow-batched kernel per partition doing
+    normalize → shingle → hash → signature entirely in pandas/numpy
+    (vectorized xxh64/md5, functions/xxh64.py); 'arrow' = shingle
+    hashes via JVM Columns, perm arithmetic in a numpy kernel;
+    'jvm' = pure higher-order-function Columns. All three are
+    BIT-IDENTICAL (pinned by tests) and zero-shuffle.
+
+    Why fused wins: higher-order functions (transform/zip_with) are
+    CodegenFallback, so the 'arrow'/'jvm' shingle layer evaluates
+    interpreted — per-element UTF8String churn that measured
+    ~1.3 ms·core/doc on 130-char docs (24k docs/s at 32 cores).
+    The fused kernel's pandas normalize + grouped-by-length
+    vectorized xxh64 does the identical math at ~15 µs·core/doc —
+    what turns a 10⁷-doc dedup pass from a ~20-minute stage into a
+    sub-minute one. Under ANY impl the banding, bucket join, and
+    exact-Jaccard verify stay DataFrame ops (Catalyst owns the
+    shuffles). Override with spark.silk.signatures.impl."""
     try:
-        v = df.sparkSession.conf.get("spark.silk.signatures.impl", "arrow")
+        v = df.sparkSession.conf.get("spark.silk.signatures.impl", "fused")
     except Exception:
-        v = "arrow"
-    return v if v in ("arrow", "jvm") else "arrow"
+        v = "fused"
+    return v if v in ("fused", "arrow", "jvm") else "fused"
 
 
 def _minhash_sig_arrow(params: "list[tuple[int, int]]"):
@@ -228,14 +235,209 @@ def _simhash60_sig_arrow():
     return _sig
 
 
+_NORM_RE1 = re.compile(r"[^a-z0-9 \t\n\x0b\f\r]")
+_NORM_RE2 = re.compile(r"[ \t\n\x0b\f\r]+")
+
+
+def _normalize_series(texts):
+    """pandas twin of normalize_text — IDENTICAL semantics to the JVM
+    regex chain: Java's `\\s` is the ASCII class [ \\t\\n\\x0b\\f\\r]
+    (unlike Python's Unicode-aware \\s), written out explicitly.
+    Case-lowering differences between java.lang.String.toLowerCase and
+    str.lower exist only for exotic code points (final sigma, Turkish
+    dotted I) that the [^a-z0-9\\s] pass maps to ' ' in both engines —
+    pinned by the unicode rows in tests/test_dedup_suite.py."""
+    s = texts.fillna("").str.lower()
+    s = s.str.replace(_NORM_RE1, " ", regex=True)
+    s = s.str.replace(_NORM_RE2, " ", regex=True)
+    return s.str.strip(" ")
+
+
+def _shingle_bytes_py(norm: str, n: int) -> "list[bytes]":
+    """UTF-8 shingle byte strings of one normalized doc — the set
+    word_shingles/shingles_from_tokens produce (array_distinct
+    preserves order, a set does not; every consumer is order-invariant:
+    min over perms, bit counts, set intersections)."""
+    w = norm.split(" ")
+    if len(w) >= n:
+        return [
+            s.encode("utf-8")
+            for s in {" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}
+        ]
+    return [norm.encode("utf-8")]
+
+
+def _minhash_fused_arrow(params: "list[tuple[int, int]]", shingle_n: int):
+    """pandas UDF: text → minhash signature, the whole normalize →
+    shingle → xxh64 → 128-perm pipeline in one Arrow batch. Bit-
+    identical to the JVM expression path: functions/xxh64.py IS
+    Spark's xxhash64 (property-pinned), np.remainder on int64 IS
+    Spark's pmod for a positive modulus, and the perm arithmetic is
+    the same int64 matrix op as _minhash_sig_arrow."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from silk_spark.functions.xxh64 import xxh64_batch
+
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(texts):  # pd.Series -> pd.Series (hints omitted, see above)
+        norm = _normalize_series(texts)
+        counts = np.empty(len(norm), dtype=np.int64)
+        all_sh: list[bytes] = []
+        for i, nm in enumerate(norm):
+            sh = _shingle_bytes_py(nm, shingle_n)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        hs = np.remainder(xxh64_batch(all_sh), MERSENNE_P)
+        out, off = [], 0
+        for c in counts:
+            hv = hs[off : off + c]
+            off += int(c)
+            out.append(((A * hv + B) % MERSENNE_P).min(axis=1))
+        return pd.Series(out)
+
+    return _sig
+
+
+def _minhash_bands_fused_arrow(
+    params: "list[tuple[int, int]]", shingle_n: int, bands: int
+):
+    """pandas UDF: text → array<bigint>[bands] of LSH band ids, the
+    whole normalize → shingle → xxh64 → perms → band-hash pipeline in
+    one Arrow batch. Emitting band ids instead of signatures keeps the
+    128-long signature out of the Arrow exchange entirely (1 KB/doc —
+    10 GB at 10⁷ docs) and the band hashing vectorized.
+
+    Band ids are internal bucket keys: two docs share a band id iff
+    their signature slices are equal (modulo 2⁻⁶⁴ hash collisions,
+    same property as the JVM xxhash64(j, slice) form), so the
+    CANDIDATE PAIR SET — the only thing downstream consumes — is
+    identical across impls even though the id values differ."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from silk_spark.functions.xxh64 import _xxh64_matrix, xxh64_batch
+
+    A = np.array([a for a, _ in params], dtype=np.int64)[:, None]
+    B = np.array([b for _, b in params], dtype=np.int64)[:, None]
+    r = len(params) // bands
+
+    @pandas_udf(ArrayType(LongType()))
+    def _bands(texts):  # pd.Series -> pd.Series (hints omitted, see above)
+        norm = _normalize_series(texts)
+        counts = np.empty(len(norm), dtype=np.int64)
+        all_sh: list[bytes] = []
+        for i, nm in enumerate(norm):
+            sh = _shingle_bytes_py(nm, shingle_n)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        hs = np.remainder(xxh64_batch(all_sh), MERSENNE_P)
+        sigs = np.empty((len(norm), len(params)), dtype=np.int64)
+        off = 0
+        for i, c in enumerate(counts):
+            hv = hs[off : off + c]
+            off += int(c)
+            sigs[i] = ((A * hv + B) % MERSENNE_P).min(axis=1)
+        out = np.empty((len(norm), bands), dtype=np.int64)
+        for j in range(bands):
+            # one vectorized xxh64 over the band's r little-endian
+            # longs per doc, seeded by the band index
+            buf = (
+                np.ascontiguousarray(sigs[:, j * r : (j + 1) * r])
+                .astype("<i8")
+                .view(np.uint8)
+                .reshape(len(norm), 8 * r)
+            )
+            out[:, j] = _xxh64_matrix(buf, seed=j).view(np.int64)
+        return pd.Series(list(out))
+
+    return _bands
+
+
+def _shingles_fused_arrow(shingle_n: int):
+    """pandas UDF: text → array<string> of distinct word n-gram
+    shingles — the Python twin of shingles_from_tokens, used by
+    shingle_frame under the fused impl. Emits the same shingle SET
+    (order differs from array_distinct's first-occurrence order; every
+    consumer — array_sort'ed prefix index, intersect/union Jaccard —
+    is order-invariant)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, StringType
+
+    n = shingle_n
+
+    @pandas_udf(ArrayType(StringType()))
+    def _sh(texts):  # pd.Series -> pd.Series (hints omitted, see above)
+        norm = _normalize_series(texts)
+        out = []
+        for nm in norm:
+            w = nm.split(" ")
+            if len(w) >= n:
+                out.append(list({" ".join(w[j : j + n]) for j in range(len(w) - n + 1)}))
+            else:
+                out.append([nm])
+        return pd.Series(out)
+
+    return _sh
+
+
+def _simhash60_fused_arrow(shingle_n: int):
+    """pandas UDF: text → 60-bit md5-portable SimHash, normalize →
+    shingle → md5 → bit-majority fused in one Arrow batch. hashlib.md5
+    IS the JVM md5 (same algorithm); the bit rule is the same numpy op
+    as _simhash60_sig_arrow."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import LongType
+
+    bits = np.arange(60, dtype=np.int64)
+    weights = np.int64(1) << bits
+    md5 = hashlib.md5
+
+    @pandas_udf(LongType())
+    def _sig(texts):  # pd.Series -> pd.Series (hints omitted, see above)
+        norm = _normalize_series(texts)
+        out = np.empty(len(norm), dtype=np.int64)
+        for i, nm in enumerate(norm):
+            hv = np.array(
+                [
+                    int(md5(b).hexdigest()[:15], 16)
+                    for b in _shingle_bytes_py(nm, shingle_n)
+                ],
+                dtype=np.int64,
+            )
+            cnt = ((hv[:, None] >> bits) & 1).sum(axis=0)
+            out[i] = int(((cnt * 2 > len(hv)) * weights).sum())
+        return pd.Series(out)
+
+    return _sig
+
+
 def _content_guard(text_col: str) -> Column:
     """Docs whose text is null or normalizes to empty have no shingle
     SET — word_shingles' short-doc fallback emits a one-element
     degenerate array ([null] / [""]) shared by every such doc, which
     would band-collide them all into one O(m²)-candidate LSH block —
     and Jaccard over an empty set is undefined. Signature/banding
-    paths exclude them (mirrored in the DuckDB oracles)."""
-    return F.col(text_col).isNotNull() & (normalize_text(F.col(text_col)) != "")
+    paths exclude them (mirrored in the DuckDB oracles).
+
+    Tested as `lower(text) RLIKE '[a-z0-9]'` — "contains at least one
+    alphanumeric after lowering" is exactly "normalizes to non-empty"
+    (normalize_text keeps precisely the alnum runs), and the positive
+    single-char probe stops at the first hit instead of rewriting the
+    whole string (equivalence pinned by tests/test_dedup_suite.py)."""
+    return F.col(text_col).isNotNull() & F.lower(F.col(text_col)).rlike("[a-z0-9]")
 
 
 def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
@@ -253,23 +455,60 @@ def _perm_params(k: int, seed: int = 42) -> list[tuple[int, int]]:
 
 def normalize_text(c: Column) -> Column:
     """Canonical form for dedup: lowercase, collapse whitespace,
-    strip non-alphanumerics (composition of transformer-catalog ops)."""
-    return F.trim(F.regexp_replace(F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " "), r"\s+", " "))
+    strip non-alphanumerics (composition of transformer-catalog ops).
+
+    Computed as `array_join(regexp_extract_all(lower, '[a-z0-9]+'), ' ')`
+    — value-identical to the definitional
+    `trim(replace(replace(lower, '[^a-z0-9\\s]', ' '), '\\s+', ' '))`
+    (the maximal alnum runs joined by single spaces ARE the collapsed,
+    trimmed form; equivalence pinned by tests/test_dedup_suite.py),
+    but ~60x faster on JDK 17: a NEGATED character class compiles to
+    chained CharPredicate lambdas evaluated per character (measured
+    ~5 µs/char — 45 s to scan 2M 130-char docs at 32 cores), while the
+    positive class takes the compiled fast path (0.8 s for the same
+    scan). The DuckDB oracles keep the definitional replace form (RE2
+    has no such cliff)."""
+    return F.array_join(F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0), " ")
 
 
-def word_shingles(c: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of normalized text as array<string>.
+def tokens_col(c: Column) -> Column:
+    """Normalized tokens = the maximal [a-z0-9] runs of the lowered
+    text, extracted directly (one positive-class regex pass — see
+    normalize_text for the measured negated-class cliff this avoids;
+    split(normalize_text, ' ') would re-join and re-split).
+    Materialize this as its OWN column (see shingle_frame) before
+    handing it to any higher-order shingle expression.
+
+    Edge vs the split form: a no-content doc yields [] here vs ['']
+    there — shingles_from_tokens' short-doc fallback maps BOTH to the
+    same [''] degenerate shingle, and every operator path excludes
+    such docs via _content_guard anyway."""
+    return F.regexp_extract_all(F.lower(c), F.lit("[a-z0-9]+"), 0)
+
+
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a token-array column.
 
     Formulated as a fold of `zip_with` over n shifted slices of the
     token array — NOT as `transform(sequence(1, k), i -> slice(toks,
     i, n))`. A higher-order-function lambda body is re-evaluated per
-    ELEMENT, so referencing `toks` (split + two regex passes over the
-    full text) inside the lambda recomputes the tokenization once per
-    shingle — O(words²) regex work per document (measured ~6x the
+    ELEMENT, so referencing `toks` inside the lambda recomputes it
+    once per shingle — O(words²) work per document (measured ~6x the
     whole operator's runtime). In the zip_with form the token array
     sits in argument position (evaluated once per row) and the lambdas
-    touch only their two string elements."""
-    toks = F.split(normalize_text(c), " ")
+    touch only their two string elements.
+
+    `toks` should be a COLUMN REFERENCE, not the inline
+    split(regex(regex(...))) expression: higher-order functions are
+    CodegenFallback, so the whole subtree under them evaluates
+    interpreted with NO common-subexpression elimination — an inline
+    token expression is re-evaluated once per slice/size/fallback
+    reference (~8x two regex passes per row; measured 4.1x the whole
+    signature stage at 200k docs). Materializing the tokens in their
+    own projection keeps the regex in codegen'd code, evaluated once
+    (CollapseProject never inlines a non-cheap expression referenced
+    more than once, so the two-projection shape survives the
+    optimizer)."""
     k = F.size(toks) - (n - 1)
     grams = F.slice(toks, 1, F.greatest(k, F.lit(1)))
     for j in range(1, n):
@@ -280,6 +519,40 @@ def word_shingles(c: Column, n: int = 3) -> Column:
         )
     return F.when(k >= 1, F.array_distinct(grams)).otherwise(
         F.array(F.array_join(toks, " "))
+    )
+
+
+def word_shingles(c: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of normalized text as array<string>.
+
+    Column-level convenience form: the tokenization is INLINE, so the
+    interpreted HOF layer re-evaluates it per reference (see
+    shingles_from_tokens). Fine for small frames and tests; every
+    operator hot path goes through shingle_frame / a fused kernel
+    instead."""
+    return shingles_from_tokens(tokens_col(c), n)
+
+
+def shingle_frame(
+    df: DataFrame, shingle_n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, sh array<string>) — fused Arrow kernel by default (see
+    _signature_impl; the zip_with shingle layer is interpreted and
+    measured ~0.3 ms·core/doc vs ~10 µs fused); under 'arrow'/'jvm'
+    the token array is materialized in its own codegen'd projection so
+    the normalization runs ONCE per row instead of once per
+    interpreted-HOF reference (~8x) — see shingles_from_tokens."""
+    guarded = df.filter(_content_guard(text_col))
+    if _signature_impl(df) == "fused":
+        return guarded.select(
+            F.col(id_col).alias("id"),
+            _shingles_fused_arrow(shingle_n)(F.col(text_col)).alias("sh"),
+        )
+    toksed = guarded.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
+    return toksed.select(
+        "id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
     )
 
 
@@ -334,9 +607,13 @@ def duplicate_spans(
     (span, doc); the second exchange sees one row per (span, doc) —
     bounded by corpus size, salting unneeded."""
     df = _parallel(df)
+    # tokens in their own codegen'd projection (see shingles_from_tokens)
     w = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(span_windows(F.col(text_col), window)).alias("span"),
+        tokens_col(F.col(text_col)).alias("_toks"),
+    ).select(
+        "doc_id",
+        F.explode(_window_fold(F.col("_toks"), window)).alias("span"),
     )
     per_doc = (
         w.select("doc_id", F.md5(F.col("span").cast("binary")).alias("span_hash"))
@@ -533,14 +810,7 @@ def ngram_jaccard_pairs(
     split per doc) each time measured ~2x the whole operator at
     sf0.1. Multi-pass reuse of the tokenized corpus is the standard
     trade; pass-through scans stay lazy everywhere else."""
-    docs = _persist(
-        _parallel(df)
-        .filter(_content_guard(text_col))
-        .select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-    )
+    docs = _persist(shingle_frame(_parallel(df), shingle_n, text_col, id_col))
     exploded = shingle_prefix_index(docs, threshold, prefix)
     return _verified_pairs(exploded, docs, threshold)
 
@@ -566,10 +836,6 @@ def minhash_signatures(
     at sf0.1 for byte-identical signatures. At 100 TB the difference
     is an entire exchange of the tokenized corpus vs none."""
     params = _perm_params(num_perm, seed)
-    hs = F.transform(
-        word_shingles(F.col(text_col), shingle_n),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
-    )
     impl = _signature_impl(df)
     # null/empty text never yields a null shingle ARRAY — word_shingles'
     # short-doc fallback emits a one-element degenerate array ([null]
@@ -577,11 +843,23 @@ def minhash_signatures(
     # collide into a single O(m²)-candidate LSH block. Jaccard over an
     # empty shingle set is undefined anyway: exclude those docs here
     # (the _content_guard), as does simhash_bands.
-    base = (
-        _parallel(df)
-        .filter(_content_guard(text_col))
-        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
+    guarded = _parallel(df).filter(_content_guard(text_col))
+    if impl == "fused":
+        return guarded.select(
+            F.col(id_col).alias("id"),
+            _minhash_fused_arrow(params, shingle_n)(F.col(text_col)).alias("sig"),
+        )
+    # tokens materialized in their own codegen'd projection — the HOF
+    # shingle layer below is interpreted and would otherwise re-run
+    # the regex normalization ~8x per row (see shingles_from_tokens)
+    toksed = guarded.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
     )
+    hs = F.transform(
+        shingles_from_tokens(F.col("_toks"), shingle_n),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE_P)),
+    )
+    base = toksed.select("id", hs.alias("_hs"))
     if impl == "arrow":
         return base.select("id", _minhash_sig_arrow(params)(F.col("_hs")).alias("sig"))
     sig = F.array(
@@ -612,19 +890,41 @@ def minhash_lsh_pairs(
     precision is always exact and recall is the tunable."""
     assert num_perm % bands == 0
     r = num_perm // bands
-    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, seed)
-    band_ids = F.array(
-        *[F.xxhash64(F.lit(j), F.slice(F.col("sig"), j * r + 1, r)) for j in range(bands)]
-    )
-    exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
+    if _signature_impl(df) == "fused":
+        # band ids straight out of the fused kernel: the 128-long
+        # signature never crosses the Arrow boundary, and the band
+        # hashing is vectorized (see _minhash_bands_fused_arrow for
+        # why the ids may differ across impls while the candidate
+        # pair set cannot)
+        params = _perm_params(num_perm, seed)
+        banded = (
+            _parallel(df)
+            .filter(_content_guard(text_col))
+            .select(
+                F.col(id_col).alias("id"),
+                _minhash_bands_fused_arrow(params, shingle_n, bands)(
+                    F.col(text_col)
+                ).alias("_bands"),
+            )
+        )
+        exploded = banded.select("id", F.explode("_bands").alias("_block"))
+    else:
+        sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, seed)
+        # band hash over SCALAR element_at args, not an array slice:
+        # xxhash64 over an array argument measured ~4x slower in the
+        # codegen'd projection (slice allocation + array hashing loop)
+        band_ids = F.array(
+            *[
+                F.xxhash64(
+                    F.lit(j), *[F.element_at("sig", j * r + k + 1) for k in range(r)]
+                )
+                for j in range(bands)
+            ]
+        )
+        exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = _persist(
-        df.filter(_content_guard(text_col)).select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-    )
+    shingles = _persist(shingle_frame(df, shingle_n, text_col, id_col))
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -650,11 +950,13 @@ def simhash_bands(
     over the per-doc hash array — ONE narrow projection, zero shuffle
     (the explode + bits-sum groupBy exchanged |docs|x|shingles| rows
     for identical bits; same rewrite as minhash_signatures)."""
-    hs = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-    base = (
-        df.filter(_content_guard(text_col))
-        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
+    toksed = df.filter(_content_guard(text_col)).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
     )
+    hs = F.transform(
+        shingles_from_tokens(F.col("_toks"), shingle_n), lambda s: F.xxhash64(s)
+    )
+    base = toksed.select("id", hs.alias("_hs"))
     n = F.size("_hs")
 
     def bit(b: int) -> F.Column:
@@ -690,12 +992,7 @@ def simhash_pairs(
     exploded = bands.select("id", F.explode("bands").alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = _persist(
-        df.filter(_content_guard(text_col)).select(
-            F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
-        )
-    )
+    shingles = _persist(shingle_frame(df, shingle_n, text_col, id_col))
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -715,16 +1012,22 @@ def simhash60_signature(
     size(filter()) over the per-doc hash array — one narrow
     projection, zero shuffle (same rewrite as minhash_signatures;
     bit-identical to the explode + 60-sum groupBy it replaces)."""
+    impl = _signature_impl(df)
+    guarded = _parallel(df).filter(_content_guard(text_col))
+    if impl == "fused":
+        return guarded.select(
+            F.col(id_col).alias("id"),
+            _simhash60_fused_arrow(shingle_n)(F.col(text_col)).alias("sig"),
+        )
+    toksed = guarded.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
+    )
     hs = F.transform(
-        word_shingles(F.col(text_col), shingle_n),
+        shingles_from_tokens(F.col("_toks"), shingle_n),
         lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
     )
-    base = (
-        _parallel(df)
-        .filter(_content_guard(text_col))
-        .select(F.col(id_col).alias("id"), hs.alias("_hs"))
-    )
-    if _signature_impl(df) == "arrow":
+    base = toksed.select("id", hs.alias("_hs"))
+    if impl == "arrow":
         return base.select("id", _simhash60_sig_arrow()(F.col("_hs")).alias("sig"))
     n = F.size("_hs")
     sig = None

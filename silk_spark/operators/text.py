@@ -68,7 +68,10 @@ def bpe_ish_token_count(c: Column) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, w: acc + F.ceil(F.length(w) / 6.0).cast("bigint"),
     )
-    punct = F.length(F.regexp_replace(c, r"[^.,;:!?()\[\]{}\"']", ""))
+    # positive-class count (== length after stripping everything else):
+    # a NEGATED class compiles to per-char predicate lambdas on JDK 17,
+    # measured ~60x slower — see dedup_suite.normalize_text
+    punct = F.size(F.regexp_extract_all(c, F.lit(r"[.,;:!?()\[\]{}\"']"), 0))
     return word_pieces + punct.cast("bigint")
 
 
@@ -80,9 +83,17 @@ def quality_score(c: Column) -> Column:
     toks = _tokens(c)
     n_toks = F.size(toks)
     mean_w = F.when(n_toks > 0, n_chars.cast("double") / n_toks).otherwise(F.lit(0.0))
+    # letter count as the sum of \p{L}+ run lengths — value-identical
+    # to length(strip non-letters) without the negated-class regex
+    # cliff (see dedup_suite.normalize_text); the fold's lambda only
+    # touches the extracted runs, never re-running the regex
+    n_alpha = F.aggregate(
+        F.regexp_extract_all(c, F.lit(r"\p{L}+"), 0),
+        F.lit(0).cast("bigint"),
+        lambda acc, run: acc + F.length(run).cast("bigint"),
+    )
     alpha_ratio = F.when(
-        n_chars > 0,
-        F.length(F.regexp_replace(c, r"[^\p{L}]", "")).cast("double") / n_chars,
+        n_chars > 0, n_alpha.cast("double") / n_chars
     ).otherwise(F.lit(0.0))
     len_ok = F.when((n_toks >= 10) & (n_toks <= 10000), 1.0).otherwise(0.3)
     word_ok = F.when((mean_w >= 2.5) & (mean_w <= 12.0), 1.0).otherwise(0.4)
@@ -164,8 +175,13 @@ def repetition_signals(
     zero-shuffle at any corpus size."""
     from silk_spark.operators.dedup_suite import _window_fold
 
-    toks = _tokens(F.col(text_col))
-    return df.select(
+    # tokens materialized in their own codegen'd projection: the window
+    # folds below are interpreted HOFs, and an inline token expression
+    # would re-run the split once per fold reference (see
+    # dedup_suite.shingles_from_tokens for the measured mechanics)
+    toksed = df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_toks"))
+    toks = F.col("_toks")
+    return toksed.select(
         F.col(id_col),
         _dup_frac(toks).alias("dup_word_frac"),
         _dup_frac(_window_fold(toks, 2)).alias("dup_2gram_frac"),

@@ -379,3 +379,62 @@ class TestStripDuplicateSpans:
         out = ds.strip_duplicate_spans(docs, window=8)
         assert out.count() == docs.count()
         assert out.filter(F.col("n_removed") > F.col("n_tokens")).count() == 0
+
+
+class TestNormalizeEquivalence:
+    """normalize_text / tokens_col / _content_guard are computed with
+    positive-class regexes (the JDK-17 negated-class predicate-lambda
+    cliff measured ~60x — see normalize_text's docstring); these pin
+    them to the DEFINITIONAL forms the DuckDB oracles still use."""
+
+    ROWS = [
+        ("Ünïcode ΣΤΙΓΜΑΣ İstanbul ß — em.dash 42!",),
+        ("   ",),
+        ("",),
+        (None,),
+        ("a\tb\nc  d",),
+        ("ALL CAPS 007",),
+        ("...punct only!?",),
+        ("x",),
+    ]
+
+    def _frame(self, spark):
+        fx = spark.read.parquet(
+            "/root/testdata/sf0.01/documents.parquet"
+        ).select("text")
+        return fx.unionByName(spark.createDataFrame(self.ROWS, "text string"))
+
+    def test_normalize_matches_definitional_replace_form(self, spark):
+        df = self._frame(spark)
+        definitional = F.trim(
+            F.regexp_replace(
+                F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                r"\s+",
+                " ",
+            )
+        )
+        got = ds.normalize_text(F.col("text"))
+        assert df.filter(~got.eqNullSafe(definitional)).count() == 0
+
+    def test_tokens_match_split_form_on_guarded_rows(self, spark):
+        df = self._frame(spark).filter(ds._content_guard("text"))
+        definitional = F.split(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(F.lower("text"), r"[^a-z0-9\s]", " "),
+                    r"\s+",
+                    " ",
+                )
+            ),
+            " ",
+        )
+        got = ds.tokens_col(F.col("text"))
+        assert df.filter(~got.eqNullSafe(definitional)).count() == 0
+
+    def test_guard_matches_normalizes_nonempty(self, spark):
+        df = self._frame(spark)
+        definitional = F.col("text").isNotNull() & (
+            ds.normalize_text(F.col("text")) != ""
+        )
+        got = ds._content_guard("text")
+        assert df.filter(~got.eqNullSafe(definitional)).count() == 0
