@@ -959,14 +959,24 @@ def main() -> None:
             line = json.dumps(compact, separators=(",", ":"))
         print(line, flush=True)
 
+    # cumulative wait-for-quiet budget across ALL stages: the round-5
+    # trial run burned 278 s (19% of the deadline) in per-stage waits
+    # and then shed the dedup tier for lack of budget — waiting is
+    # only worth a bounded slice of the run
+    wait_budget = [float(os.environ.get("SILK_BENCH_WAIT_BUDGET", "120"))]
+
     def run_merge(
         c: int, log_dir: str, n_events: int, stage: str, budget: float,
         n_batches: int = 4, reconcile: bool = False,
     ) -> dict | None:
         # never start a pinned measurement into a foreign load burst:
-        # wait (bounded by a slice of remaining budget) for quiet
-        waited = _wait_for_quiet(max_wait=min(0.2 * max(_remaining() - reserve, 0.0), 90.0))
+        # wait (bounded by a slice of remaining budget AND the global
+        # wait budget) for quiet
+        waited = _wait_for_quiet(max_wait=min(
+            0.2 * max(_remaining() - reserve, 0.0), 90.0, wait_budget[0]
+        ))
         if waited:
+            wait_budget[0] = max(wait_budget[0] - waited, 0.0)
             stages_done.append(f"waited_quiet_{stage}:{int(waited)}s")
             budget = max(min(budget, _remaining() - reserve), 60.0)
         res = _merge_subprocess(c, log_dir, n_events, timeout=budget,
@@ -1070,6 +1080,17 @@ def main() -> None:
             else:
                 shed.append("reconcile_merge:no_budget")
 
+        # ---- dedup-throughput tier EARLY: the LLM-pipeline dedup
+        # headline must land before the long merge tiers can exhaust
+        # the budget (the round-5 trial placed it after the query
+        # stage and shed it on timeout). Queries salvage per-@Q@ line
+        # when squeezed; the dedup tier only salvages its signature
+        # phase — so it gets its budget first.
+        if _remaining() > reserve + 180.0:
+            run_dedup()
+        else:
+            shed.append("dedup_throughput:no_budget")
+
         # ---- shared big log; efficiency tier replays a prefix of it
         log_dir, big_log_attempted = None, False
         if _remaining() > 0.4 * DEADLINE:
@@ -1111,12 +1132,10 @@ def main() -> None:
                 run_queries()
             else:
                 shed.append("queries:no_budget")
-            # dedup-throughput tier before the noise-control repeats:
-            # new evidence beats re-measuring existing evidence
-            if _remaining() > reserve + 120.0:
+            # dedup retry slot: only if the early tier shed (e.g. a
+            # burst ate its docgen) and budget reappeared
+            if not dedup_samples and _remaining() > reserve + 240.0:
                 run_dedup()
-            else:
-                shed.append("dedup_throughput:no_budget")
             # extra interleaved repeats, best-of (shed first under load)
             for rep in range(1, REPEATS):
                 for c in levels:
@@ -1134,7 +1153,7 @@ def main() -> None:
             shed.append("big_log:timeout" if big_log_attempted else "big_log:no_budget")
             if _remaining() > reserve + 60.0:
                 run_queries()
-            if _remaining() > reserve + 120.0:
+            if not dedup_samples and _remaining() > reserve + 120.0:
                 run_dedup()
     finally:
         for r in tmp_roots:
