@@ -483,7 +483,9 @@ def make_docs(n_docs: int, root: str) -> str:
     return docs_dir
 
 
-def dedup_bench(cpus: int, n_docs: int, docs_dir: str, root: str) -> dict:
+def dedup_bench(
+    cpus: int, n_docs: int, docs_dir: str, root: str, sig_only: bool = False
+) -> dict:
     """MinHash-LSH dedup throughput at corpus scale (pinned subprocess,
     same discipline as merge_bench). Two timed phases so a mid-run
     kill still yields evidence: (1) signatures only — the zero-shuffle
@@ -491,7 +493,14 @@ def dedup_bench(cpus: int, n_docs: int, docs_dir: str, root: str) -> dict:
     as a cumulative @D@ line; (2) the full pipeline end-to-end
     (signatures → banded bucket join → exact-Jaccard verify → pair
     count). Phase 2 recomputes signatures — that's the honest e2e
-    number, not phase 1 + a delta."""
+    number, not phase 1 + a delta.
+
+    sig_only runs phase 1 alone: paired with a wide run on the SAME
+    input, it yields a scaling-efficiency number for a stage that is
+    compute-bound (embarrassingly parallel Arrow kernels, zero
+    exchange) rather than memory-bandwidth-bound like the MOR merge
+    write path — on a bus-contended host the merge pair measures the
+    hypervisor's memcpy ceiling while this pair measures the engine."""
     from silk_spark.operators.dedup_suite import minhash_lsh_pairs, minhash_signatures, release_persisted
     from silk_spark.session import get_spark
 
@@ -509,6 +518,10 @@ def dedup_bench(cpus: int, n_docs: int, docs_dir: str, root: str) -> dict:
     out["sig_docs_per_sec"] = round(n_docs / out["sig_sec"], 1)
     out["loadavg_sig"] = _loadavg()
     print("@D@" + json.dumps(out), flush=True)
+    if sig_only:
+        release_persisted()
+        spark.stop()
+        return out
     t0 = time.monotonic()
     pairs = minhash_lsh_pairs(docs, threshold=0.5).count()
     out["sec"] = round(time.monotonic() - t0, 3)
@@ -538,7 +551,7 @@ def _docs_subprocess(n_docs: int, timeout: float) -> str | None:
 
 
 def _dedup_subprocess(
-    cpus: int, n_docs: int, docs_dir: str, timeout: float
+    cpus: int, n_docs: int, docs_dir: str, timeout: float, sig_only: bool = False
 ) -> dict | None:
     """Pinned dedup run; on timeout, salvage the last @D@ line (the
     completed signature phase) as a partial sample."""
@@ -550,7 +563,7 @@ def _dedup_subprocess(
     code = (
         f"import json, sys; sys.path.insert(0, {repo!r}); import bench; "
         f"print('@RESULT@' + json.dumps(bench.dedup_bench("
-        f"{cpus}, {n_docs}, {docs_dir!r}, root={root!r})))"
+        f"{cpus}, {n_docs}, {docs_dir!r}, root={root!r}, sig_only={sig_only!r})))"
     )
     try:
         res, stdout = _run_stage(code, pin_cpus=cpus, timeout=timeout)
@@ -901,6 +914,27 @@ def main() -> None:
                 dedup_samples, key=lambda s: s.get("docs_per_sec") or 0.0
             )
             result["dedup_throughput"] = best_d
+            # compute-bound scaling pair: signature-phase docs/sec at
+            # both widths on the SAME corpus. The Arrow signature
+            # kernels are embarrassingly parallel with zero exchange,
+            # so this pair grades the ENGINE's scaling where the merge
+            # pair on this host grades the memory bus (see
+            # _calibrate_levels) — the honest per-stage answer to the
+            # north rule's N→4N criterion on a single shared box.
+            by_cpu = {}
+            for s in dedup_samples:
+                dps = s.get("sig_docs_per_sec")
+                if dps:
+                    by_cpu[s["cpus"]] = max(by_cpu.get(s["cpus"], 0.0), dps)
+            if len(by_cpu) >= 2:
+                ws = sorted(by_cpu)
+                eff = round(
+                    (by_cpu[ws[-1]] / by_cpu[ws[0]]) / (ws[-1] / ws[0]), 3
+                )
+                result["dedup_sig_scaling"] = {
+                    "docs_per_sec_by_cpus": {str(k): by_cpu[k] for k in ws},
+                    "efficiency": eff,
+                }
         # ALWAYS print: a line with value=null still beats an empty
         # artifact, and the consumer takes the LAST parsable line.
         print(json.dumps(result), flush=True)
@@ -939,6 +973,9 @@ def main() -> None:
             }
             if "dedup_throughput" in result
             else None,
+            "dedup_sig_eff": result.get(
+                "dedup_sig_scaling", {}
+            ).get("efficiency"),
             "elapsed_sec": result["elapsed_sec"],
             "partial": not final,
         }
@@ -1025,6 +1062,23 @@ def main() -> None:
                 + (":truncated" if res.get("truncated") else "")
             )
         emit()
+        # narrow-width signature-only pass on the same corpus: the
+        # compute-bound scaling pair (see the dedup_sig_scaling
+        # comment in emit). ~4x the wide sig time, signature phase
+        # only — budget-bounded and shed before anything else is.
+        if (RUN_SCALING and res is not None and res.get("sig_docs_per_sec")
+                and _remaining() > reserve + 180.0):
+            res_n = _dedup_subprocess(
+                small_cpus, DEDUP_DOCS, docs_dir,
+                timeout=max(min(_remaining() - reserve, 0.25 * DEADLINE), 60.0),
+                sig_only=True,
+            )
+            if res_n is None:
+                shed.append(f"dedup_sig_{small_cpus}x:timeout")
+            else:
+                dedup_samples.append(res_n)
+                stages_done.append(f"dedup_sig_{small_cpus}x")
+            emit()
 
     tmp_roots: list[str] = []
     try:

@@ -64,6 +64,7 @@ def _worst_case_compact_line() -> str:
             "cpus": 32,
             "sec": 99999.99,
         },
+        "dedup_sig_eff": 0.999,
         "elapsed_sec": 99999.9,
         "partial": False,
         "queries": queries,
