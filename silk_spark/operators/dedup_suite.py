@@ -389,6 +389,43 @@ def _shingles_fused_arrow(shingle_n: int):
     return _sh
 
 
+def _hashed_shingles_fused_arrow(shingle_n: int):
+    """pandas UDF: text → array<bigint> of xxhash64(shingle) over the
+    distinct word n-gram shingle set, normalize → shingle → hash fused
+    in one Arrow batch. The int64 twin of _shingles_fused_arrow:
+    functions/xxh64.py IS Spark's xxhash64 (property-pinned), so the
+    JVM fallback `transform(shingles_from_tokens(...), xxhash64)` is
+    bit-identical. See shingle_frame(hashed=True) for why the dedup
+    verify paths run on hashes instead of shingle strings."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from silk_spark.functions.xxh64 import xxh64_batch
+
+    n = shingle_n
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sh(texts):  # pd.Series -> pd.Series (hints omitted, see above)
+        import numpy as np
+
+        norm = _normalize_series(texts)
+        counts = np.empty(len(norm), dtype=np.int64)
+        all_sh: list[bytes] = []
+        for i, nm in enumerate(norm):
+            sh = _shingle_bytes_py(nm, n)
+            counts[i] = len(sh)
+            all_sh.extend(sh)
+        hs = xxh64_batch(all_sh)
+        out, off = [], 0
+        for c in counts:
+            out.append(hs[off : off + c])
+            off += int(c)
+        return pd.Series(out)
+
+    return _sh
+
+
 def _simhash60_fused_arrow(shingle_n: int):
     """pandas UDF: text → 60-bit md5-portable SimHash, normalize →
     shingle → md5 → bit-majority fused in one Arrow batch. hashlib.md5
@@ -534,26 +571,46 @@ def word_shingles(c: Column, n: int = 3) -> Column:
 
 
 def shingle_frame(
-    df: DataFrame, shingle_n: int, text_col: str, id_col: str
+    df: DataFrame, shingle_n: int, text_col: str, id_col: str,
+    hashed: bool = False,
 ) -> DataFrame:
     """(id, sh array<string>) — fused Arrow kernel by default (see
     _signature_impl; the zip_with shingle layer is interpreted and
     measured ~0.3 ms·core/doc vs ~10 µs fused); under 'arrow'/'jvm'
     the token array is materialized in its own codegen'd projection so
     the normalization runs ONCE per row instead of once per
-    interpreted-HOF reference (~8x) — see shingles_from_tokens."""
+    interpreted-HOF reference (~8x) — see shingles_from_tokens.
+
+    hashed=True emits (id, sh array<bigint>) of xxhash64(shingle)
+    instead — the form every candidate-verify path consumes. Jaccard
+    is a pure set-size formula, so it is IDENTICAL over hashed sets
+    absent a 64-bit collision inside one compared pair's union
+    (P ≈ |union|²/2⁶⁵ per pair: ~1.5e-10 across sf0.1's 567k candidate
+    verifies, ~3e-5 even at 10⁹ pairs × 10³-shingle unions), while
+    long arrays cut the verify-join shuffle ~2.3x (8 B vs ~18 B per
+    shingle) and make intersect/union integer comparisons instead of
+    UTF8String walks — measured 3.5x on the sf0.1 verify stage. The
+    prefix index keeps working unchanged: PPJoin Lemma 1 only needs
+    SOME global total order on the universe, and int64 order is one
+    (the candidate SET may differ from lexicographic-order indexing;
+    the verified result set cannot)."""
     guarded = df.filter(_content_guard(text_col))
     if _signature_impl(df) == "fused":
+        kernel = (
+            _hashed_shingles_fused_arrow(shingle_n)
+            if hashed
+            else _shingles_fused_arrow(shingle_n)
+        )
         return guarded.select(
-            F.col(id_col).alias("id"),
-            _shingles_fused_arrow(shingle_n)(F.col(text_col)).alias("sh"),
+            F.col(id_col).alias("id"), kernel(F.col(text_col)).alias("sh")
         )
     toksed = guarded.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("_toks")
     )
-    return toksed.select(
-        "id", shingles_from_tokens(F.col("_toks"), shingle_n).alias("sh")
-    )
+    sh = shingles_from_tokens(F.col("_toks"), shingle_n)
+    if hashed:
+        sh = F.transform(sh, lambda s: F.xxhash64(s))
+    return toksed.select("id", sh.alias("sh"))
 
 
 def _window_fold(toks: Column, n: int) -> Column:
@@ -810,7 +867,9 @@ def ngram_jaccard_pairs(
     split per doc) each time measured ~2x the whole operator at
     sf0.1. Multi-pass reuse of the tokenized corpus is the standard
     trade; pass-through scans stay lazy everywhere else."""
-    docs = _persist(shingle_frame(_parallel(df), shingle_n, text_col, id_col))
+    docs = _persist(
+        shingle_frame(_parallel(df), shingle_n, text_col, id_col, hashed=True)
+    )
     exploded = shingle_prefix_index(docs, threshold, prefix)
     return _verified_pairs(exploded, docs, threshold)
 
@@ -924,7 +983,9 @@ def minhash_lsh_pairs(
         exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = _persist(shingle_frame(df, shingle_n, text_col, id_col))
+    shingles = _persist(
+        shingle_frame(df, shingle_n, text_col, id_col, hashed=True)
+    )
     return _verified_pairs(exploded, shingles, threshold)
 
 
@@ -992,7 +1053,9 @@ def simhash_pairs(
     exploded = bands.select("id", F.explode("bands").alias("_block"))
     # persisted: the verify joins reference this frame twice (see
     # ngram_jaccard_pairs for the measured rationale)
-    shingles = _persist(shingle_frame(df, shingle_n, text_col, id_col))
+    shingles = _persist(
+        shingle_frame(df, shingle_n, text_col, id_col, hashed=True)
+    )
     return _verified_pairs(exploded, shingles, threshold)
 
 
