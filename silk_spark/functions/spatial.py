@@ -75,20 +75,42 @@ def wkt_envelope(g: Column) -> Column:
     +inf for relations on unparseable input; NULL envelopes propagate
     the same way through the relation builders below). ``n`` carries
     the vertex count so degenerate (point) geometries stay
-    distinguishable from boxes."""
-    c = wkt_coords(g)
-    xs = F.transform(c, lambda p: p["x"])
-    ys = F.transform(c, lambda p: p["y"])
-    return F.when(
-        F.size(c) > 0,
-        F.struct(
-            F.array_min(xs).alias("xmin"),
-            F.array_min(ys).alias("ymin"),
-            F.array_max(xs).alias("xmax"),
-            F.array_max(ys).alias("ymax"),
-            F.size(c).alias("n"),
-        ),
+    distinguishable from boxes.
+
+    ONE ``aggregate`` pass over the regex matches, with the
+    null-when-empty wrap in the aggregate's FINISH lambda (where the
+    accumulator is a bound variable, evaluated once). The earlier
+    min/max-over-transforms form referenced the coords array five
+    times — higher-order functions are CodegenFallback with no
+    common-subexpression elimination, so the whole
+    ``regexp_extract_all`` parse re-ran per reference (the trap
+    shingles_from_tokens documents); measured ~5x on the spatial-join
+    pair path. Callers that evaluate relations per JOINED PAIR should
+    still materialize this struct once per ENTITY side before the
+    join (a bound struct column's field access is free; an inline
+    expression's is a re-parse) — see q_spatial_join."""
+    pairs = F.regexp_extract_all(g, F.lit(_PAIR), 0)
+
+    def _merge(acc: Column, p: Column) -> Column:
+        sp = F.split(p, r"\s+")
+        x = F.element_at(sp, 1).cast("double")
+        y = F.element_at(sp, 2).cast("double")
+        return F.struct(
+            F.least(F.coalesce(acc["xmin"], x), x).alias("xmin"),
+            F.least(F.coalesce(acc["ymin"], y), y).alias("ymin"),
+            F.greatest(F.coalesce(acc["xmax"], x), x).alias("xmax"),
+            F.greatest(F.coalesce(acc["ymax"], y), y).alias("ymax"),
+            (acc["n"] + 1).alias("n"),
+        )
+
+    zero = F.struct(
+        F.lit(None).cast("double").alias("xmin"),
+        F.lit(None).cast("double").alias("ymin"),
+        F.lit(None).cast("double").alias("xmax"),
+        F.lit(None).cast("double").alias("ymax"),
+        F.lit(0).alias("n"),
     )
+    return F.aggregate(pairs, zero, _merge, lambda acc: F.when(acc["n"] > 0, acc))
 
 
 # ---------------------------------------------------------------------------
@@ -289,11 +311,12 @@ def _haversine(lat1, lon1, lat2, lon2) -> Column:
     return 2 * r * F.asin(F.sqrt(h))
 
 
-def centroid_distance(g1: Column, g2: Column, limit: float = 1.0) -> Column:
-    """CentroidDistanceMetric.scala:27 — great-circle distance of the
-    envelope centroids, normalized by ``limit``; +inf above 1.0 or on
-    parse failure (Utils.scala:246-252)."""
-    e1, e2 = wkt_envelope(g1), wkt_envelope(g2)
+def envelopes_centroid_distance(e1: Column, e2: Column, limit: float = 1.0) -> Column:
+    """centroid_distance over ALREADY-PARSED envelope structs — the
+    per-pair form for blocked joins where each side's envelope is
+    materialized once per entity (field access on a bound struct
+    column is free; on an inline wkt_envelope expression it is a
+    re-parse)."""
     d = _haversine(
         (e1["ymin"] + e1["ymax"]) / 2,
         (e1["xmin"] + e1["xmax"]) / 2,
@@ -301,6 +324,13 @@ def centroid_distance(g1: Column, g2: Column, limit: float = 1.0) -> Column:
         (e2["xmin"] + e2["xmax"]) / 2,
     ) / float(limit)
     return F.when(d <= 1.0, d).otherwise(_INF())
+
+
+def centroid_distance(g1: Column, g2: Column, limit: float = 1.0) -> Column:
+    """CentroidDistanceMetric.scala:27 — great-circle distance of the
+    envelope centroids, normalized by ``limit``; +inf above 1.0 or on
+    parse failure (Utils.scala:246-252)."""
+    return envelopes_centroid_distance(wkt_envelope(g1), wkt_envelope(g2), limit)
 
 
 def min_distance(g1: Column, g2: Column, limit: float = 1.0) -> Column:
@@ -351,9 +381,17 @@ def envelope_blocks(
     exactly as Utils.scala:210-211 (circumference-normalized), so a
     min-distance predicate with threshold d never loses a candidate.
     Truncation (`.toInt`, toward zero) is replicated, not floor."""
+    return envelope_grid(wkt_envelope(g), blocking_parameter, distance)
+
+
+def envelope_grid(
+    e: Column, blocking_parameter: float = 1.0, distance: float = 0.0
+) -> Column:
+    """envelope_blocks over an ALREADY-PARSED envelope struct — pair
+    with a per-entity materialized wkt_envelope column so the grid
+    cover never re-parses WKT (see wkt_envelope docstring)."""
     bp = float(blocking_parameter)
     n_long = int(LONG_RANGE * bp) or 1
-    e = wkt_envelope(g)
     dx = (distance / EARTH_CIRCUMFERENCE_EQUATORIAL) * LONG_RANGE
     dy = (distance / EARTH_CIRCUMFERENCE_MERIDIONAL) * LAT_RANGE
     lat_lo = ((e["ymin"] - dy) * bp).cast("int")
