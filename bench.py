@@ -1049,6 +1049,15 @@ def main() -> None:
             emit()
             return
         tmp_roots.append(os.path.dirname(docs_dir))
+        # the wide run otherwise starts into the 32-wide docgen's tail
+        # (rehearsal: loadavg 20 at sig start, sig 37.2 s vs 31.5 s
+        # clean) — same bounded quiet discipline as the merge stages
+        waited = _wait_for_quiet(max_wait=min(
+            0.15 * max(_remaining() - reserve, 0.0), 45.0, wait_budget[0]
+        ))
+        if waited:
+            wait_budget[0] = max(wait_budget[0] - waited, 0.0)
+            stages_done.append(f"waited_quiet_dedup:{int(waited)}s")
         res = _dedup_subprocess(
             big_cpus, DEDUP_DOCS, docs_dir,
             timeout=max(min(_remaining() - reserve, 0.3 * DEADLINE), 60.0),
