@@ -796,14 +796,33 @@ def _verified_pairs(exploded_ids, shingles, threshold: float):
     then re-attach each side's shingles with two joins and verify with
     exact Jaccard. Deduping narrow id pairs instead of rows carrying
     shingle arrays keeps the candidate shuffle tiny — the arrays cross
-    the wire only |pairs| times, not |candidates| times."""
-    l = exploded_ids.select(F.col("id").alias("left_id"), "_block")
-    r = exploded_ids.select(F.col("id").alias("right_id"), "_block")
-    cand = (
-        l.join(r, "_block")
-        .filter(F.col("left_id") < F.col("right_id"))
-        .select("left_id", "right_id")
-        .dropDuplicates(["left_id", "right_id"])
+    the wire only |pairs| times, not |candidates| times.
+
+    When the index frame carries a `_sz` column (shingle set size,
+    one int per index row — see shingle_prefix_index), the PPJoin
+    LENGTH filter runs on the joined index rows before the pair
+    dedup: Jaccard(X,Y) >= t implies |X∩Y| >= t·|X∪Y|, and with
+    |X∩Y| <= min(|X|,|Y|), |X∪Y| >= max(|X|,|Y|) that forces
+    min >= t·max — so dropping size-ratio violators loses no
+    qualifying pair while cutting the verify joins (~24% of sf0.1's
+    candidates at t=0.5; the skew-length tail prunes harder)."""
+    has_sz = "_sz" in exploded_ids.columns
+    lcols = [F.col("id").alias("left_id"), "_block"] + (
+        [F.col("_sz").alias("_lsz")] if has_sz else []
+    )
+    rcols = [F.col("id").alias("right_id"), "_block"] + (
+        [F.col("_sz").alias("_rsz")] if has_sz else []
+    )
+    l = exploded_ids.select(*lcols)
+    r = exploded_ids.select(*rcols)
+    joined = l.join(r, "_block").filter(F.col("left_id") < F.col("right_id"))
+    if has_sz:
+        joined = joined.filter(
+            F.least("_lsz", "_rsz")
+            >= F.lit(float(threshold)) * F.greatest("_lsz", "_rsz")
+        )
+    cand = joined.select("left_id", "right_id").dropDuplicates(
+        ["left_id", "right_id"]
     )
     lsh_side = shingles.select(F.col("id").alias("left_id"), F.col("sh").alias("left_sh"))
     rsh_side = shingles.select(F.col("id").alias("right_id"), F.col("sh").alias("right_sh"))
@@ -835,14 +854,19 @@ def shingle_prefix_index(
 
     `prefix`: "auto" = the sound per-doc bound above; an int = fixed
     prefix length (caller guarantees soundness); None = index every
-    shingle (exact recall without any assumption, quadratic risk)."""
+    shingle (exact recall without any assumption, quadratic risk).
+
+    Every index row carries `_sz` = |sh| (one int) so _verified_pairs
+    can apply the PPJoin length filter before the pair dedup."""
     index = F.array_sort(F.col("sh"))
     if prefix == "auto":
         plen = (F.floor(F.lit(1.0 - threshold) * F.size("sh")) + 1).cast("int")
         index = F.slice(index, F.lit(1), plen)
     elif prefix is not None:
         index = F.slice(index, 1, prefix)
-    return docs.select("id", F.explode(index).alias("_block"))
+    return docs.select(
+        "id", F.size("sh").alias("_sz"), F.explode(index).alias("_block")
+    )
 
 
 def ngram_jaccard_pairs(
