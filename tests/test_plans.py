@@ -201,3 +201,40 @@ def test_measure_phoneme_plan_single_arrow_no_shuffle(spark):
     assert plan.count("ArrowEvalPython") == 2
     assert "Exchange" not in plan
     assert "ReadSchema: struct<p_partkey:bigint>" in plan
+
+
+def test_spatial_join_parses_wkt_once_per_entity(spark, sf):
+    """The spatial join must parse each side's WKT ONCE per entity
+    (a materialized envelope struct before the block join) — never
+    per joined pair. Regression pin for the interpreted-HOF re-parse
+    cliff: wkt_envelope's old min/max-over-transforms form put ~10
+    regexp evaluations per PAIR into the plan (measured ~5x the whole
+    query at sf0.1). One regexp_extract_all per side is the floor."""
+    import __spark_entry__ as e
+
+    plan = plan_of(e.q_spatial_join(spark, sf))
+    assert plan.count("regexp_extract_all") <= 2, (
+        "WKT re-parse leaked past the per-entity envelope projection:\n" + plan
+    )
+
+
+def test_ngram_verify_runs_on_hashed_shingles(spark, sf):
+    """The candidate-verify joins must carry array<bigint> shingle
+    HASHES, not shingle strings (~2.3x shuffle bytes + interpreted
+    UTF8String set-intersections; measured 3.5x on the verify stage).
+    Pin: no array<string> column crosses the verify exchanges."""
+    import os as _os
+
+    from silk_spark.operators.dedup_suite import ngram_jaccard_pairs, release_persisted
+
+    docs = spark.read.parquet(_os.path.join(sf, "documents.parquet"))
+    plan = plan_of(ngram_jaccard_pairs(docs, threshold=0.5))
+    release_persisted(spark)
+    # the exact-Jaccard verify appears as array_intersect/array_union
+    # over the joined shingle columns: assert the plan's intersect is
+    # over bigint arrays (hashed), which renders without any cast to
+    # array<string>
+    assert "array_intersect" in plan
+    assert "array<string>" not in plan.lower().replace(" ", ""), (
+        "shingle STRINGS crossed into the verify plan:\n" + plan
+    )
