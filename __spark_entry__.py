@@ -1086,6 +1086,22 @@ def q_dedup_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_duplicate_spans(_t(spark, sf_dir, "documents"), window=8)
 
 
+def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (dedup_suite.decontaminate): every
+    5th document plays the held-out eval set; training docs sharing
+    any 5-token span with it are flagged with their distinct-shared-
+    span count. Hash-only shuffles; the benchmark side reduces to its
+    distinct span set (AQE broadcasts it at this size)."""
+    from silk_spark.operators.dedup_suite import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return decontaminate(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+        window=5,
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs at >= 0.5 (token-block
     candidates + exact verify)."""
@@ -1632,6 +1648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_spans": q_dedup_spans,
         "dedup_strip": q_dedup_strip,
+        "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
         "dedup_simhash": q_dedup_simhash,
@@ -2332,6 +2349,18 @@ win AS (SELECT doc_id, md5(array_to_string(w[i+1:i+8], ' ')) AS h FROM ex),
 pd AS (SELECT h, doc_id, count(*) AS occ FROM win GROUP BY h, doc_id)
 SELECT h AS span_hash, count(*) AS n_docs, CAST(sum(occ) AS BIGINT) AS n_occ
 FROM pd GROUP BY h HAVING count(*) >= 2
+""",
+        "dedup_decontaminate": f"""
+WITH tw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),
+ex AS (SELECT doc_id, w, unnest(range(len(w) - 5 + 1)) AS i
+       FROM tw WHERE len(w) >= 5),
+sp AS (SELECT DISTINCT doc_id, md5(array_to_string(w[i+1:i+5], ' ')) AS h FROM ex),
+bench AS (SELECT DISTINCT h FROM sp WHERE doc_id % 5 = 0),
+train AS (SELECT * FROM sp WHERE doc_id % 5 != 0)
+SELECT train.doc_id AS doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_spans,
+       min(train.h) AS first_span_hash
+FROM train JOIN bench USING (h) GROUP BY 1
 """,
         "dedup_strip": f"""
 WITH tw AS (SELECT doc_id, {_WORDS_SQL} AS w FROM documents),

@@ -288,6 +288,7 @@ BENCH_QUERIES = [
     "events_sessionize",
     "dedup_exact",
     "dedup_spans",
+    "dedup_decontaminate",
     "dedup_strip",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
@@ -992,8 +993,21 @@ def main() -> None:
         # against the ~1.9 KB driver tail window, still plain JSON
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900 and "queries" in compact:
-            del compact["queries"]
-            line = json.dumps(compact, separators=(",", ":"))
+            # degrade gracefully: drop the CHEAPEST queries first (the
+            # expensive ones carry the regression signal) and say so
+            # with queries_omitted — never silently, and the full named
+            # dict is always in the cumulative line above
+            by_cost = sorted(queries.items(), key=lambda kv: (-kv[1], kv[0]))
+            while len(line) > 1900 and by_cost:
+                by_cost.pop()
+                compact["queries"] = {
+                    k: int(round(v)) for k, v in sorted(by_cost)
+                }
+                compact["queries_omitted"] = len(queries) - len(by_cost)
+                line = json.dumps(compact, separators=(",", ":"))
+            if len(line) > 1900:
+                del compact["queries"]
+                line = json.dumps(compact, separators=(",", ":"))
         print(line, flush=True)
 
     # cumulative wait-for-quiet budget across ALL stages: the round-5

@@ -684,6 +684,60 @@ def duplicate_spans(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    window: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination — flag every training document that
+    shares at least one width-``window`` token span with an
+    evaluation corpus (the n-gram-overlap test-set hygiene rule of
+    GPT-3 appendix C / the Llama eval decontamination recipe; the
+    engine analogue of Silk's LinkFilter over exact sub-sequence
+    agreement). Returns one row per CONTAMINATED doc:
+    (doc_id, n_shared_spans = distinct benchmark spans it contains,
+    first_span_hash = min span hash, for audit sampling). Callers
+    anti-join the result against the corpus to drop, or keep the
+    counts as a quality column.
+
+    Scale shape: both sides reduce to DISTINCT (doc, md5-span) /
+    (span) rows before any join — the window fold is a zero-shuffle
+    projection (same kernel as duplicate_spans), the shuffles carry
+    32-char hashes only, never text, and the benchmark side collapses
+    to its distinct span set (|benchmark spans|, typically 10⁴-10⁶ —
+    AQE turns the final equi-join into a broadcast when it fits,
+    without baking that assumption in for TB-scale eval suites). Hot
+    spans cost one row per (span, doc) — bounded, no salting
+    needed."""
+    d = _parallel(docs)
+    spans_d = (
+        d.select(
+            F.col(id_col).alias("doc_id"),
+            tokens_col(F.col(text_col)).alias("_toks"),
+        )
+        .select("doc_id", F.explode(_window_fold(F.col("_toks"), window)).alias("span"))
+        .select("doc_id", F.md5(F.col("span").cast("binary")).alias("h"))
+        .dropDuplicates(["doc_id", "h"])
+    )
+    spans_b = (
+        benchmark.select(tokens_col(F.col(bench_text_col)).alias("_toks"))
+        .select(F.explode(_window_fold(F.col("_toks"), window)).alias("span"))
+        .select(F.md5(F.col("span").cast("binary")).alias("h"))
+        .dropDuplicates(["h"])
+    )
+    return (
+        spans_d.join(spans_b, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shared_spans"),
+            F.min("h").alias("first_span_hash"),
+        )
+    )
+
+
 # Keeper ordering for strip_duplicate_spans: occurrences are ranked by
 # doc_id * 2^20 + position, so token positions must fit in 20 bits.
 # Past ~10^6 tokens a "document" is a corpus concatenation bug, so the

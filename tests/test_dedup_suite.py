@@ -438,3 +438,45 @@ class TestNormalizeEquivalence:
         )
         got = ds._content_guard("text")
         assert df.filter(~got.eqNullSafe(definitional)).count() == 0
+
+
+class TestDecontaminate:
+    def test_planted_benchmark_overlap(self, spark):
+        """A train doc sharing an exact 5-token span with the eval set
+        is flagged with the distinct-shared-span count; non-overlapping
+        docs are absent from the result (anti-join keeps them)."""
+        leak = "alpha beta gamma delta epsilon"  # 5 tokens
+        bench = spark.createDataFrame(
+            [(100, f"eval question about {leak} indeed")],
+            "doc_id bigint, text string",
+        )
+        train = spark.createDataFrame(
+            [
+                (1, f"clean document with nothing shared here at all"),
+                (2, f"contaminated start {leak} contaminated end"),
+                (3, f"{leak} zeta {leak}"),  # two occurrences, one distinct span
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in ds.decontaminate(train, bench, window=5).collect()
+        }
+        assert set(rows) == {2, 3}
+        assert rows[2]["n_shared_spans"] == 1
+        # doc 3 repeats the span — still ONE distinct shared span
+        assert rows[3]["n_shared_spans"] == 1
+        import hashlib
+
+        assert rows[2]["first_span_hash"] == hashlib.md5(leak.encode()).hexdigest()
+
+    def test_no_overlap_is_empty(self, spark):
+        bench = spark.createDataFrame(
+            [(9, "benchmark sentence one two three four five")],
+            "doc_id bigint, text string",
+        )
+        train = spark.createDataFrame(
+            [(1, "totally different words in this training document")],
+            "doc_id bigint, text string",
+        )
+        assert ds.decontaminate(train, bench, window=5).count() == 0
