@@ -1301,6 +1301,38 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix construction (operators/sampling.py): documents
+    stratified by detected language, per-language deterministic
+    Bernoulli rates (en 0.5 / de 0.8 / fr 0.3 / und 0.1), surviving
+    rows assigned a reproducible train/val/test split. Membership and
+    split are INTEGER comparisons on a 60-bit md5 bucket, so the
+    DuckDB oracle reproduces the sample row-for-row — the property
+    (stable under re-runs, re-sharding, engine swap) that RNG-state
+    sampling cannot give."""
+    from silk_spark.operators.sampling import split_assign, stratified_sample
+    from silk_spark.operators.text import lang_id
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", lang_id(F.col("text")).alias("lang")
+    )
+    sampled = stratified_sample(
+        docs,
+        F.col("lang"),
+        {"en": 0.5, "de": 0.8, "fr": 0.3},
+        key=F.col("doc_id"),
+        seed=7,
+        default_fraction=0.1,
+    )
+    return sampled.select(
+        "doc_id",
+        "lang",
+        split_assign(
+            F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=11
+        ).alias("split"),
+    )
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from silk_spark.operators.text import doc_fingerprint
 
@@ -1662,6 +1694,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "audio_features": q_audio_features,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
+        "sample_stratified": q_sample_stratified,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
@@ -2437,6 +2470,25 @@ SELECT doc_id, len(w) AS n_tokens,
 FROM tw
 """,
         "text_lang_id": _lang_id_oracle(),
+        "sample_stratified": f"""
+WITH lang AS (
+  SELECT doc_id, lang_pred AS lang FROM ({_lang_id_oracle()})
+), b AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5('7:' || doc_id::VARCHAR), 1, 15))::BIGINT AS b7,
+         ('0x' || substr(md5('11:' || doc_id::VARCHAR), 1, 15))::BIGINT AS b11
+  FROM lang
+)
+SELECT doc_id, lang,
+       CASE WHEN b11 < {int(0.1 * (1 << 60))} THEN 'test'
+            WHEN b11 < {int((0.1 + 0.8) * (1 << 60))} THEN 'train'
+            ELSE 'val' END AS split
+FROM b
+WHERE b7 < CASE lang WHEN 'en' THEN {int(0.5 * (1 << 60))}
+                     WHEN 'de' THEN {int(0.8 * (1 << 60))}
+                     WHEN 'fr' THEN {int(0.3 * (1 << 60))}
+                     ELSE {int(0.1 * (1 << 60))} END
+""",
         "text_fingerprint": """
 SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
 FROM documents

@@ -302,6 +302,7 @@ BENCH_QUERIES = [
     "text_quality",
     "text_repetition",
     "text_lang_id",
+    "sample_stratified",
     "text_token_count",
     "text_fingerprint",
     "profile_stats",

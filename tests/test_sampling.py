@@ -1,0 +1,81 @@
+"""Deterministic sampling (operators/sampling.py): reproducibility is
+the load-bearing property — membership must be identical across runs,
+partitionings and engines (the DuckDB twin is pinned by the
+sample_stratified oracle query)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from silk_spark.operators.sampling import (
+    hash_bucket,
+    split_assign,
+    stratified_sample,
+    uniform_hash,
+)
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    return spark.range(0, 2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en")
+        .when(F.col("id") % 3 == 1, "de")
+        .otherwise("und")
+        .alias("lang"),
+    )
+
+
+class TestStratifiedSample:
+    def test_rates_approximately_honored(self, spark, frame):
+        out = stratified_sample(
+            frame, F.col("lang"), {"en": 0.5, "de": 0.2}, key=F.col("doc_id"),
+            seed=3, default_fraction=0.0,
+        )
+        counts = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+        assert "und" not in counts  # default 0.0 drops the stratum
+        assert abs(counts["en"] / 667 - 0.5) < 0.08
+        assert abs(counts["de"] / 667 - 0.2) < 0.08
+
+    def test_membership_is_partitioning_invariant(self, spark, frame):
+        kw = dict(strata=F.col("lang"), fractions={"en": 0.4, "de": 0.6},
+                  key=F.col("doc_id"), seed=9, default_fraction=0.1)
+        a = sorted(r["doc_id"] for r in stratified_sample(frame, **kw).collect())
+        b = sorted(
+            r["doc_id"]
+            for r in stratified_sample(frame.repartition(17), **kw).collect()
+        )
+        assert a == b and len(a) > 0
+
+    def test_seed_changes_sample(self, spark, frame):
+        kw = dict(strata=F.col("lang"), fractions={"en": 0.5}, key=F.col("doc_id"))
+        a = {r["doc_id"] for r in stratified_sample(frame, seed=1, **kw).collect()}
+        b = {r["doc_id"] for r in stratified_sample(frame, seed=2, **kw).collect()}
+        assert a != b
+
+
+class TestSplitAssign:
+    def test_proportions_and_determinism(self, spark, frame):
+        out = frame.select(
+            "doc_id",
+            split_assign(F.col("doc_id"), {"train": 0.8, "val": 0.1, "test": 0.1}, seed=5).alias("s"),
+        )
+        counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+        assert set(counts) == {"train", "val", "test"}
+        assert abs(counts["train"] / 2000 - 0.8) < 0.05
+        # stable across evaluations
+        again = {r["doc_id"]: r["s"] for r in out.collect()}
+        assert {r["doc_id"]: r["s"] for r in out.collect()} == again
+
+    def test_single_label_degenerates(self, spark, frame):
+        out = frame.select(split_assign(F.col("doc_id"), {"all": 1.0}).alias("s"))
+        assert out.filter(F.col("s") != "all").count() == 0
+
+
+class TestHashBucket:
+    def test_uniform_hash_in_unit_interval(self, spark, frame):
+        row = frame.select(
+            F.min(uniform_hash(F.col("doc_id"))).alias("lo"),
+            F.max(uniform_hash(F.col("doc_id"))).alias("hi"),
+            F.min(hash_bucket(F.col("doc_id"))).alias("blo"),
+        ).first()
+        assert 0.0 <= row["lo"] and row["hi"] < 1.0 and row["blo"] >= 0
