@@ -1301,6 +1301,42 @@ def q_text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", lang_id(F.col("text")).alias("lang_pred"))
 
 
+def q_text_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub (operators/text.redact_pii): deterministic synthetic
+    PII (emails always; IPs / cards / phones on doc_id residues) is
+    injected into each document, then masked by the ordered codegen
+    regexp chain; counts are taken pre-masking (pii_counts). The
+    DuckDB oracle rebuilds the identical injected string and redacts
+    with the same ordered patterns, so placeholders, ordering effects
+    (card-before-phone) and counts are all value-checked."""
+    from silk_spark.operators.text import pii_counts, redact_pii
+
+    docs = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    inj = F.concat(
+        F.col("text"),
+        F.lit(" contact u"), did.cast("string"), F.lit("@example.com"),
+        F.when(
+            did % 3 == 0,
+            F.concat(F.lit(" from 10.0."), (did % 200).cast("string"), F.lit(".7")),
+        ).otherwise(F.lit("")),
+        F.when(did % 5 == 0, F.lit(" card 4111 1111 1111 1111")).otherwise(F.lit("")),
+        F.when(
+            did % 7 == 0,
+            F.concat(F.lit(" call +1 555-01"), (did % 90 + 10).cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    cnt = pii_counts(inj)
+    return docs.select(
+        "doc_id",
+        F.md5(redact_pii(inj)).alias("redacted_fp"),
+        cnt["email"].alias("n_email"),
+        cnt["ip"].alias("n_ip"),
+        cnt["card"].alias("n_card"),
+        cnt["phone"].alias("n_phone"),
+    )
+
+
 def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-mix construction (operators/sampling.py): documents
     stratified by detected language, per-language deterministic
@@ -1695,6 +1731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
         "sample_stratified": q_sample_stratified,
+        "text_redact": q_text_redact,
         "text_fingerprint": q_text_fingerprint,
         "text_quality": q_text_quality,
         "text_repetition": q_text_repetition,
@@ -2470,6 +2507,32 @@ SELECT doc_id, len(w) AS n_tokens,
 FROM tw
 """,
         "text_lang_id": _lang_id_oracle(),
+        "text_redact": """
+WITH inj AS (
+  SELECT doc_id,
+    text || ' contact u' || doc_id::VARCHAR || '@example.com'
+    || CASE WHEN doc_id % 3 = 0 THEN ' from 10.0.' || (doc_id % 200)::VARCHAR || '.7' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN ' card 4111 1111 1111 1111' ELSE '' END
+    || CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-01' || (doc_id % 90 + 10)::VARCHAR ELSE '' END
+    AS t
+  FROM documents
+)
+SELECT doc_id,
+  md5(
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      t,
+      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b', '<CARD>', 'g'),
+      '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+      '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+      '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}', '<PHONE>', 'g')
+  ) AS redacted_fp,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+  CAST(len(regexp_extract_all(t, '\\b\\d{4}[ -]\\d{4}[ -]\\d{4}[ -]\\d{4}\\b')) AS INT) AS n_card,
+  CAST(len(regexp_extract_all(t, '\\+\\d{1,3}[ -]\\d{3}[ -]\\d{3,4}')) AS INT) AS n_phone
+FROM inj
+""",
         "sample_stratified": f"""
 WITH lang AS (
   SELECT doc_id, lang_pred AS lang FROM ({_lang_id_oracle()})

@@ -303,6 +303,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_lang_id",
     "sample_stratified",
+    "text_redact",
     "text_token_count",
     "text_fingerprint",
     "profile_stats",

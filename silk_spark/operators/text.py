@@ -106,6 +106,45 @@ def quality_score(c: Column) -> Column:
     )
 
 
+# PII redaction patterns — ordered (a credit card must not be eaten
+# by the looser phone pattern), positive character classes only (the
+# JDK-17 negated-class predicate cliff measured in BASELINE.md), and
+# restricted to constructs Java regex and RE2 agree on (no
+# lookaround, no prefix-ambiguous alternation) so the DuckDB oracle
+# twin redacts byte-identically.
+PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CARD>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+\d{1,3}[ -]\d{3}[ -]\d{3,4}", "<PHONE>"),
+]
+
+
+def redact_pii(c: Column) -> Column:
+    """Mask emails / credit cards / SSNs / IPv4s / international
+    phone numbers with typed placeholders — the standard pre-training
+    PII scrub as one chain of codegen ``regexp_replace`` calls (zero
+    shuffle, no Python). Pattern order is load-bearing: see
+    PII_PATTERNS."""
+    out = c
+    for _, pat, repl in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def pii_counts(c: Column) -> Column:
+    """struct<email,card,ssn,ip,phone int> of match counts on the
+    UNredacted text (counts must precede masking — a redacted email
+    no longer matches). Audit/reporting companion to redact_pii."""
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(c, F.lit(pat), 0)).alias(name)
+            for name, pat, _ in PII_PATTERNS
+        ]
+    )
+
+
 def doc_fingerprint(c: Column, shingle_n: int = 5) -> Column:
     """Order-independent document fingerprint: md5 of the min-hashed
     shingle (the 'winnowing' survivor) + md5 of full normalized text,

@@ -276,3 +276,43 @@ class TestRepetitionSignals:
         assert "Exchange" not in plan
         for node in ("BatchEvalPython", "ArrowEvalPython"):
             assert node not in plan
+
+
+class TestPiiRedaction:
+    def test_all_categories_masked_and_counted(self, spark):
+        from silk_spark.operators.text import pii_counts, redact_pii
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail me at jo.doe+x@corp-mail.co or jo@a.io thanks"),
+                (2, "card 4111 1111 1111 1111 ssn 123-45-6789"),
+                (3, "server 192.168.0.1 call +44 555-0123 now"),
+                (4, "nothing sensitive here at all"),
+            ],
+            "id bigint, text string",
+        )
+        out = {
+            r["id"]: r
+            for r in df.select(
+                "id",
+                redact_pii(F.col("text")).alias("red"),
+                pii_counts(F.col("text")).alias("c"),
+            ).collect()
+        }
+        assert out[1]["red"] == "mail me at <EMAIL> or <EMAIL> thanks"
+        assert out[1]["c"]["email"] == 2
+        assert out[2]["red"] == "card <CARD> ssn <SSN>"
+        assert out[2]["c"]["card"] == 1 and out[2]["c"]["ssn"] == 1
+        assert out[3]["red"] == "server <IP> call <PHONE> now"
+        assert out[3]["c"]["ip"] == 1 and out[3]["c"]["phone"] == 1
+        assert out[4]["red"] == "nothing sensitive here at all"
+
+    def test_card_not_eaten_by_phone_ordering(self, spark):
+        from silk_spark.operators.text import redact_pii
+
+        df = spark.createDataFrame(
+            [(1, "pay +1 555-0100 with 4111-1111-1111-1111 ok")],
+            "id bigint, text string",
+        )
+        red = df.select(redact_pii(F.col("text")).alias("r")).first()["r"]
+        assert "<CARD>" in red and "<PHONE>" in red
