@@ -1102,6 +1102,23 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus dedup (operators/incremental_dedup.py): the
+    documents table arrives as THREE ingest batches; each batch probes
+    the persistent MinHash band index built by its predecessors, then
+    extends it. Band collision is pairwise and order-independent and
+    the verify is exact, so the unioned per-batch output equals the
+    GLOBAL LSH pair set — the oracle is literally the global query's
+    SQL, making the equivalence itself the checked property."""
+    from silk_spark.operators.incremental_dedup import IncrementalDeduper
+
+    docs = _t(spark, sf_dir, "documents")
+    deduper = IncrementalDeduper(spark, threshold=0.5)
+    return deduper.process_batches(
+        [docs.filter(F.col("doc_id") % 3 == i) for i in range(3)]
+    )
+
+
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-word-shingle Jaccard near-dup pairs at >= 0.5 (token-block
     candidates + exact verify)."""
@@ -1719,6 +1736,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
         "dedup_embedding": q_dedup_embedding,
@@ -2482,6 +2500,7 @@ SELECT id AS doc_id, min(lab) AS cluster_id, (min(lab) = id) AS is_survivor
 FROM reach GROUP BY id
 """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
+        "dedup_incremental": _JACCARD_PAIRS_SQL,
         "dedup_simhash": _simhash_oracle(3),
         "dedup_embedding": """
 SELECT l.vec_id AS left_id, r.vec_id AS right_id,

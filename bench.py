@@ -292,6 +292,7 @@ BENCH_QUERIES = [
     "dedup_strip",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_incremental",
     "dedup_simhash",
     "dedup_clusters",
     "dedup_embedding",

@@ -878,6 +878,15 @@ def _verified_pairs(exploded_ids, shingles, threshold: float):
     cand = joined.select("left_id", "right_id").dropDuplicates(
         ["left_id", "right_id"]
     )
+    return verify_pairs_exact(cand, shingles, threshold)
+
+
+def verify_pairs_exact(cand: DataFrame, shingles: DataFrame, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of bare (left_id, right_id)
+    candidate pairs against a (id, sh) shingle frame — the shared
+    verify tail, public so candidate sets from OTHER generators (the
+    incremental band-index probe) get the same precision-exact
+    semantics."""
     lsh_side = shingles.select(F.col("id").alias("left_id"), F.col("sh").alias("left_sh"))
     rsh_side = shingles.select(F.col("id").alias("right_id"), F.col("sh").alias("right_sh"))
     pairs = cand.join(lsh_side, "left_id").join(rsh_side, "right_id")
@@ -1025,6 +1034,33 @@ def minhash_lsh_pairs(
     ~1.2e-1... so tune (r, b) to the threshold; defaults give <1e-6
     at s>=0.8 and the verify step removes all false positives, so
     precision is always exact and recall is the tunable."""
+    exploded = minhash_banded(
+        df, num_perm, bands, shingle_n, text_col, id_col, seed
+    )
+    # persisted: the verify joins reference this frame twice (see
+    # ngram_jaccard_pairs for the measured rationale)
+    shingles = _persist(
+        shingle_frame(df, shingle_n, text_col, id_col, hashed=True)
+    )
+    return _verified_pairs(exploded, shingles, threshold)
+
+
+def minhash_banded(
+    df: DataFrame,
+    num_perm: int = 128,
+    bands: int = 32,
+    shingle_n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """(id, _block) exploded LSH band rows — the candidate-index form
+    minhash_lsh_pairs joins on, exposed for callers that PERSIST the
+    index across batches (IncrementalDeduper). Band ids are stable in
+    (num_perm, bands, seed) under a fixed signature impl; an index
+    must be built and probed under the same `spark.silk.signatures.
+    impl` (ids differ across impls, injectively — see
+    _minhash_bands_fused_arrow)."""
     assert num_perm % bands == 0
     r = num_perm // bands
     if _signature_impl(df) == "fused":
@@ -1044,27 +1080,20 @@ def minhash_lsh_pairs(
                 ).alias("_bands"),
             )
         )
-        exploded = banded.select("id", F.explode("_bands").alias("_block"))
-    else:
-        sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, seed)
-        # band hash over SCALAR element_at args, not an array slice:
-        # xxhash64 over an array argument measured ~4x slower in the
-        # codegen'd projection (slice allocation + array hashing loop)
-        band_ids = F.array(
-            *[
-                F.xxhash64(
-                    F.lit(j), *[F.element_at("sig", j * r + k + 1) for k in range(r)]
-                )
-                for j in range(bands)
-            ]
-        )
-        exploded = sigs.select("id", F.explode(band_ids).alias("_block"))
-    # persisted: the verify joins reference this frame twice (see
-    # ngram_jaccard_pairs for the measured rationale)
-    shingles = _persist(
-        shingle_frame(df, shingle_n, text_col, id_col, hashed=True)
+        return banded.select("id", F.explode("_bands").alias("_block"))
+    sigs = minhash_signatures(df, num_perm, shingle_n, text_col, id_col, seed)
+    # band hash over SCALAR element_at args, not an array slice:
+    # xxhash64 over an array argument measured ~4x slower in the
+    # codegen'd projection (slice allocation + array hashing loop)
+    band_ids = F.array(
+        *[
+            F.xxhash64(
+                F.lit(j), *[F.element_at("sig", j * r + k + 1) for k in range(r)]
+            )
+            for j in range(bands)
+        ]
     )
-    return _verified_pairs(exploded, shingles, threshold)
+    return sigs.select("id", F.explode(band_ids).alias("_block"))
 
 
 # ---------------------------------------------------------------------------
