@@ -1102,6 +1102,22 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (operators/packing.py): documents sharded into
+    16 deterministic streams, each greedily packed into 128-token
+    context windows in doc_id order by one bounded-state
+    applyInPandas group. The DuckDB oracle replays the identical
+    greedy recurrence as a recursive CTE per stream, so the full
+    (doc, pack) assignment is value-checked — the determinism
+    contract (same packs across runs / partitionings / engines) is
+    the property under test."""
+    from silk_spark.operators.packing import pack_sequences
+
+    return pack_sequences(
+        _t(spark, sf_dir, "documents"), capacity=128, n_chunks=16
+    )
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus dedup (operators/incremental_dedup.py): the
     documents table arrives as THREE ingest batches; each batch probes
@@ -1736,6 +1752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "text_pack": q_text_pack,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
         "dedup_clusters": q_dedup_clusters,
@@ -2501,6 +2518,29 @@ FROM reach GROUP BY id
 """,
         "dedup_minhash_lsh": _JACCARD_PAIRS_SQL,
         "dedup_incremental": _JACCARD_PAIRS_SQL,
+        "text_pack": """
+WITH RECURSIVE tw AS (
+  SELECT doc_id,
+         len(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS n,
+         doc_id % 16 AS chunk
+  FROM documents
+), ord AS (
+  SELECT doc_id, n, chunk,
+         row_number() OVER (PARTITION BY chunk ORDER BY doc_id) AS rn
+  FROM tw
+), packs AS (
+  SELECT chunk, rn, doc_id, n, CAST(n AS BIGINT) AS acc, CAST(0 AS BIGINT) AS pack
+  FROM ord WHERE rn = 1
+  UNION ALL
+  SELECT o.chunk, o.rn, o.doc_id, o.n,
+         CASE WHEN p.acc + o.n > 128 THEN CAST(o.n AS BIGINT) ELSE p.acc + o.n END,
+         CASE WHEN p.acc + o.n > 128 THEN p.pack + 1 ELSE p.pack END
+  FROM ord o JOIN packs p ON o.chunk = p.chunk AND o.rn = p.rn + 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens,
+       chunk * 1099511627776 + pack AS pack_id
+FROM packs
+""",
         "dedup_simhash": _simhash_oracle(3),
         "dedup_embedding": """
 SELECT l.vec_id AS left_id, r.vec_id AS right_id,

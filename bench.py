@@ -305,6 +305,7 @@ BENCH_QUERIES = [
     "text_lang_id",
     "sample_stratified",
     "text_redact",
+    "text_pack",
     "text_token_count",
     "text_fingerprint",
     "profile_stats",
