@@ -614,7 +614,7 @@ def query_bench(cpus: int, sf_dir: str, budget: float) -> None:
         print(f"@Q@{name} {dt}", flush=True)
         # release the dedup operators' cached shingle frames between
         # queries — MEMORY_AND_DISK blocks are not LRU-evicted once
-        # spilled and would accumulate across the 25-query session
+        # spilled and would accumulate across the ~60-query session
         from silk_spark.operators.dedup_suite import release_persisted
 
         release_persisted()
@@ -987,13 +987,13 @@ def main() -> None:
         if queries:
             # whole seconds in the compact line only (full 3-decimal
             # detail stays in the cumulative line above): with the
-            # complete 44-query regression axis, even 1-decimal
+            # complete ~60-query regression axis, even 1-decimal
             # rendering breaches the ~1.9 KB driver tail window at
             # worst case — pinned by tests/test_bench_artifact.py
             compact["queries"] = {k: int(round(v)) for k, v in queries.items()}
             compact["total_query_sec"] = round(result["total_query_sec"], 1)
         # minimal separators: ", "/": " whitespace alone costs ~2 bytes
-        # per key and the 47-query axis has ~90 of them — real capacity
+        # per key and the ~60-query axis has ~120 of them — real capacity
         # against the ~1.9 KB driver tail window, still plain JSON
         line = json.dumps(compact, separators=(",", ":"))
         if len(line) > 1900 and "queries" in compact:
