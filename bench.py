@@ -761,6 +761,26 @@ def main() -> None:
     levels_adapted = False
     reserve = 30.0  # cleanup + final emission headroom
 
+    # size the fixed-cost dedup tier to what the host can back RIGHT
+    # NOW: on a bus-contended window every stage runs 2-3x slow, and a
+    # full 10M-doc dedup tier squeezed the big merge tiers out of the
+    # 2nd round-5 rehearsal entirely (headline fell back to the 6M
+    # guarantee sample). The calibrated wide/narrow capacity ratio is
+    # the contention signal (ceiling < ~0.5 of ideal => halve the
+    # corpus; < ~0.3 => quarter it) — the tier still runs, its docs/s
+    # is size-insensitive (per-doc cost FALLS with corpus size,
+    # BASELINE.md), only its wall cost shrinks.
+    dedup_docs = DEDUP_DOCS
+    cal_ws = sorted(calibration)
+    if len(cal_ws) >= 2 and calibration[cal_ws[0]] > 0:
+        early_ceiling = (calibration[cal_ws[-1]] / calibration[cal_ws[0]]) / (
+            cal_ws[-1] / cal_ws[0]
+        )
+        if early_ceiling < 0.3:
+            dedup_docs = max(DEDUP_DOCS // 4, 1_000_000)
+        elif early_ceiling < 0.5:
+            dedup_docs = max(DEDUP_DOCS // 2, 1_000_000)
+
     # samples grouped by tier (= replayed event count): a tier's small
     # batches carry a larger fixed-cost share, so efficiency is only
     # comparable WITHIN a tier; throughput ("how fast can it go") is
@@ -1058,8 +1078,10 @@ def main() -> None:
         # corpus-scale dedup headline: generation is setup (unpinned,
         # budgeted, shared root cleaned by the parent), measurement is
         # a pinned child with @D@ partial salvage
+        if dedup_docs != DEDUP_DOCS:
+            stages_done.append(f"dedup_docs_adapted_{dedup_docs}")
         docs_dir = _docs_subprocess(
-            DEDUP_DOCS,
+            dedup_docs,
             timeout=max(min(_remaining() - reserve, 0.2 * DEADLINE), 60.0),
         )
         if docs_dir is None:
@@ -1077,7 +1099,7 @@ def main() -> None:
             wait_budget[0] = max(wait_budget[0] - waited, 0.0)
             stages_done.append(f"waited_quiet_dedup:{int(waited)}s")
         res = _dedup_subprocess(
-            big_cpus, DEDUP_DOCS, docs_dir,
+            big_cpus, dedup_docs, docs_dir,
             timeout=max(min(_remaining() - reserve, 0.3 * DEADLINE), 60.0),
         )
         if res is None:
@@ -1096,7 +1118,7 @@ def main() -> None:
         if (RUN_SCALING and res is not None and res.get("sig_docs_per_sec")
                 and _remaining() > reserve + 180.0):
             res_n = _dedup_subprocess(
-                small_cpus, DEDUP_DOCS, docs_dir,
+                small_cpus, dedup_docs, docs_dir,
                 timeout=max(min(_remaining() - reserve, 0.25 * DEADLINE), 60.0),
                 sig_only=True,
             )
@@ -1106,6 +1128,22 @@ def main() -> None:
                 dedup_samples.append(res_n)
                 stages_done.append(f"dedup_sig_{small_cpus}x")
             emit()
+            # A-B-A: one more WIDE sig-only pass so each width has a
+            # best-of under bursty co-tenant noise (the two rehearsal
+            # windows read 1.128 and 0.754 from single samples — the
+            # pair's noise floor was the widest error bar in the
+            # artifact; ~40 s well spent). emit()'s by_cpu max picks
+            # the best sample per width.
+            if res_n is not None and _remaining() > reserve + 120.0:
+                res_w2 = _dedup_subprocess(
+                    big_cpus, dedup_docs, docs_dir,
+                    timeout=max(min(_remaining() - reserve, 0.15 * DEADLINE), 60.0),
+                    sig_only=True,
+                )
+                if res_w2 is not None:
+                    dedup_samples.append(res_w2)
+                    stages_done.append(f"dedup_sig_{big_cpus}x_r1")
+                emit()
 
     tmp_roots: list[str] = []
     try:
