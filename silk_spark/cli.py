@@ -18,6 +18,11 @@ Subcommands:
   rollback  point the table back at an earlier snapshot
   expire    expire old snapshots + delete their exclusive data files
   vacuum    delete orphan files (lost commit races, crashed expiries)
+  curate    training-data curation pipeline over a documents table:
+            exact + near dedup (survivorship), benchmark
+            decontamination, lang/quality annotation, PII redaction,
+            deterministic per-language sampling, sequence packing —
+            each stage optional, per-stage row counts reported
 """
 
 from __future__ import annotations
@@ -100,6 +105,27 @@ def build_parser() -> argparse.ArgumentParser:
 
     va = sub.add_parser("vacuum", help="delete orphan data files")
     va.add_argument("--table", required=True)
+
+    cu = sub.add_parser(
+        "curate",
+        help="training-data curation pipeline over a documents table "
+        "(dedup -> decontaminate -> annotate/redact -> sample -> pack)",
+    )
+    cu.add_argument("--in", dest="in_path", required=True, help="parquet docs dir")
+    cu.add_argument("--out", required=True, help="output parquet dir")
+    cu.add_argument("--id-col", default="doc_id")
+    cu.add_argument("--text-col", default="text")
+    cu.add_argument("--exact-dedup", action="store_true", help="drop exact duplicates (min-id survivor)")
+    cu.add_argument("--near-dedup", action="store_true", help="drop near-dup cluster non-survivors")
+    cu.add_argument("--threshold", type=float, default=0.5, help="near-dup shingle-Jaccard threshold")
+    cu.add_argument("--decontaminate", default=None, help="benchmark parquet dir; drop overlapping docs")
+    cu.add_argument("--window", type=int, default=8, help="decontamination span width (tokens)")
+    cu.add_argument("--annotate", action="store_true", help="add lang / quality / n_tokens columns")
+    cu.add_argument("--redact-pii", action="store_true", help="mask emails/cards/SSNs/IPs/phones")
+    cu.add_argument("--sample", default=None, help="per-language rates, e.g. en=0.5,de=0.8 (requires lang)")
+    cu.add_argument("--sample-default", type=float, default=1.0, help="rate for unlisted languages")
+    cu.add_argument("--seed", type=int, default=42)
+    cu.add_argument("--pack", type=int, default=None, help="context-window capacity; adds pack_id")
 
     fs = sub.add_parser("fsck", help="manifest integrity check")
     fs.add_argument("--table", required=True)
@@ -208,6 +234,72 @@ def main(argv: list[str] | None = None) -> int:
     if args.cmd == "vacuum":
         table = LakeTable(spark, args.table)
         print(json.dumps(table.remove_orphans()))
+        return 0
+
+    if args.cmd == "curate":
+        from pyspark.sql import functions as F
+
+        from silk_spark.operators import dedup_suite as ds
+        from silk_spark.operators.text import (
+            lang_id, quality_score, redact_pii, token_count,
+        )
+
+        idc, txc = args.id_col, args.text_col
+        df = spark.read.parquet(args.in_path)
+        stages: list[tuple[str, int]] = [("input", df.count())]
+        if args.exact_dedup:
+            keep = ds.exact_dedup(df, txc, idc).select(F.col("keep_id").alias(idc))
+            df = df.join(keep, idc, "left_semi")
+            stages.append(("exact_dedup", df.count()))
+        if args.near_dedup:
+            surv = (
+                ds.near_dup_clusters(df, args.threshold, text_col=txc, id_col=idc)
+                .filter(F.col("is_survivor"))
+                .select(idc)
+            )
+            df = df.join(surv, idc, "left_semi")
+            ds.release_persisted(spark)
+            stages.append(("near_dedup", df.count()))
+        if args.decontaminate:
+            from silk_spark.operators.dedup_suite import decontaminate
+
+            bench = spark.read.parquet(args.decontaminate)
+            flagged = decontaminate(
+                df, bench, window=args.window, text_col=txc, id_col=idc,
+                bench_text_col=txc,
+            ).select(F.col("doc_id").alias(idc))
+            df = df.join(flagged, idc, "left_anti")
+            stages.append(("decontaminate", df.count()))
+        if args.annotate or args.sample:
+            df = df.withColumn("lang", lang_id(F.col(txc)))
+        if args.annotate:
+            df = df.withColumn("quality", quality_score(F.col(txc))).withColumn(
+                "n_tokens", token_count(F.col(txc))
+            )
+        if args.redact_pii:
+            df = df.withColumn(txc, redact_pii(F.col(txc)))
+        if args.sample:
+            from silk_spark.operators.sampling import stratified_sample
+
+            rates = {
+                k: float(v)
+                for k, v in (kv.split("=", 1) for kv in args.sample.split(","))
+            }
+            df = stratified_sample(
+                df, F.col("lang"), rates, key=F.col(idc), seed=args.seed,
+                default_fraction=args.sample_default,
+            )
+            stages.append(("sample", df.count()))
+        if args.pack:
+            from silk_spark.operators.packing import pack_sequences
+
+            assign = pack_sequences(
+                df, capacity=args.pack, text_col=txc, id_col=idc
+            ).select(F.col("doc_id").alias(idc), "pack_id")
+            df = df.join(assign, idc)
+        df.write.mode("overwrite").parquet(args.out)
+        out_rows = spark.read.parquet(args.out).count()
+        print(json.dumps({"stages": stages, "out": args.out, "rows": out_rows}))
         return 0
 
     if args.cmd == "fsck":

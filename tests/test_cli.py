@@ -95,3 +95,51 @@ def test_spark_submit_py_files_round_trip(spark, tmp_path_factory):
         final_state_oracle(spark.read.parquet(log_dir).toPandas())
     )
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_cli_curate_pipeline(spark, tmp_path_factory, capsys):
+    """curate: exact+near dedup, decontamination, annotation,
+    PII redaction, language sampling and packing as ONE spark-submit
+    surface; every stage's row count is reported as lineage."""
+    root = str(tmp_path_factory.mktemp("curate"))
+    docs_dir = os.path.join(root, "docs")
+    bench_dir = os.path.join(root, "bench")
+    out_dir = os.path.join(root, "out")
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    rows = []
+    for i in range(40):
+        if i % 10 == 3:
+            text = base  # exact dup group
+        elif i % 10 == 4:
+            text = base + " again"  # near dup of the group
+        else:
+            text = f"document {i} mail me at u{i}@ex.com " + " ".join(
+                f"tok{i}w{j}" for j in range(12)
+            )
+        rows.append((i, text))
+    spark.createDataFrame(rows, "doc_id bigint, text string").write.parquet(docs_dir)
+    # benchmark shares an 8-token span with doc pattern 7
+    spark.createDataFrame(
+        [(999, "document 7 mail me at u7@ex.com tok7w0 tok7w1 tok7w2 tok7w3")],
+        "doc_id bigint, text string",
+    ).write.parquet(bench_dir)
+
+    assert main([
+        "--cpus", "8", "curate", "--in", docs_dir, "--out", out_dir,
+        "--exact-dedup", "--near-dedup", "--threshold", "0.5",
+        "--decontaminate", bench_dir, "--window", "8",
+        "--annotate", "--redact-pii", "--pack", "64",
+    ]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    counts = dict(rep["stages"])
+    assert counts["input"] == 40
+    # two exact-dup groups of 4 (base, base+" again") -> 3 dropped each
+    assert counts["exact_dedup"] == 34
+    # the two surviving variants are near-dups -> one cluster, one drop
+    assert counts["near_dedup"] == 33
+    assert counts["decontaminate"] == 32  # doc 7 overlaps the benchmark
+    out = spark.read.parquet(out_dir)
+    assert rep["rows"] == 32
+    assert {"lang", "quality", "n_tokens", "pack_id"} <= set(out.columns)
+    assert out.filter(out.text.contains("@")).count() == 0  # emails masked
+    assert out.filter(out.text.contains("<EMAIL>")).count() > 0
