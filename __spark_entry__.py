@@ -1102,6 +1102,26 @@ def q_dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_epoch_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle (operators/sampling.epoch_order):
+    the training-order rank of every document for epoch 3 — a
+    reproducible pseudo-random permutation (hash order, no RNG
+    state). The DuckDB oracle recomputes the same md5-bucket rank, so
+    the full permutation is value-checked. (The unpartitioned
+    row_number here exists FOR the oracle comparison; production
+    consumers sort/range-partition by epoch_order directly — a
+    distributed exchange, no global rank materialization.)"""
+    from pyspark.sql import Window
+
+    from silk_spark.operators.sampling import epoch_order
+
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(epoch_order(F.col("doc_id"), epoch=3), F.col("doc_id"))
+    return docs.select(
+        "doc_id", F.row_number().over(w).alias("epoch_rank")
+    )
+
+
 def q_text_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (operators/packing.py): documents sharded into
     16 deterministic streams, each greedily packed into 128-token
@@ -1752,6 +1772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_decontaminate": q_dedup_decontaminate,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "sample_epoch_order": q_sample_epoch_order,
         "text_pack": q_text_pack,
         "dedup_incremental": q_dedup_incremental,
         "dedup_simhash": q_dedup_simhash,
@@ -2566,6 +2587,14 @@ SELECT doc_id, len(w) AS n_tokens,
 FROM tw
 """,
         "text_lang_id": _lang_id_oracle(),
+        "sample_epoch_order": """
+SELECT doc_id,
+       row_number() OVER (
+         ORDER BY ('0x' || substr(md5('42000129:' || doc_id::VARCHAR), 1, 15))::BIGINT,
+                  doc_id
+       ) AS epoch_rank
+FROM documents
+""",
         "text_redact": """
 WITH inj AS (
   SELECT doc_id,

@@ -304,6 +304,7 @@ BENCH_QUERIES = [
     "text_repetition",
     "text_lang_id",
     "sample_stratified",
+    "sample_epoch_order",
     "text_redact",
     "text_pack",
     "text_token_count",

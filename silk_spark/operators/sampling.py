@@ -75,6 +75,17 @@ def stratified_sample(
     return df.filter(hash_bucket(key, seed) < thresh)
 
 
+def epoch_order(key: Column, epoch: int, seed: int = 42) -> Column:
+    """Deterministic training-order key for an epoch: order rows by
+    this column to get a reproducible pseudo-random permutation that
+    CHANGES each epoch but is identical across runs, partitionings
+    and engines — global training-order shuffling without RNG state
+    (a distributed sort on a hash column; at 10^10 rows that is one
+    range exchange, the same cost as any global sort). Ties are
+    impossible for distinct keys up to md5 collisions."""
+    return hash_bucket(key, seed=seed * 1_000_003 + int(epoch))
+
+
 def split_assign(
     key: Column, weights: "dict[str, float]", seed: int = 42
 ) -> Column:

@@ -79,3 +79,22 @@ class TestHashBucket:
             F.min(hash_bucket(F.col("doc_id"))).alias("blo"),
         ).first()
         assert 0.0 <= row["lo"] and row["hi"] < 1.0 and row["blo"] >= 0
+
+
+class TestEpochOrder:
+    def test_permutations_differ_by_epoch_and_are_stable(self, spark, frame):
+        from silk_spark.operators.sampling import epoch_order
+
+        def order(epoch, df):
+            return [
+                r["doc_id"]
+                for r in df.orderBy(
+                    epoch_order(F.col("doc_id"), epoch), "doc_id"
+                ).collect()
+            ]
+
+        e1 = order(1, frame)
+        e2 = order(2, frame)
+        assert sorted(e1) == sorted(e2)  # same rows, permuted
+        assert e1 != e2  # epochs shuffle differently
+        assert e1 == order(1, frame.repartition(11))  # partitioning-invariant
