@@ -98,18 +98,20 @@ class IncrementalDeduper:
     def _read_bands(self) -> "DataFrame | None":
         if self.state_dir is None:
             return self._mem_bands
-        try:
-            return self.spark.read.parquet(self._bands_path()).select("id", "_block")
-        except Exception:
+        # existence check, NOT try/except-Exception: a transient read
+        # error must propagate — swallowing it would silently treat
+        # the whole prior corpus as absent and emit wrong (missing)
+        # cross-batch pairs
+        if not os.path.isdir(self._bands_path()):
             return None  # first batch: no state yet
+        return self.spark.read.parquet(self._bands_path()).select("id", "_block")
 
     def _read_corpus(self) -> "DataFrame | None":
         if self.state_dir is None:
             return self._mem_corpus
-        try:
-            return self.spark.read.parquet(self._corpus_path())
-        except Exception:
+        if not os.path.isdir(self._corpus_path()):
             return None
+        return self.spark.read.parquet(self._corpus_path())
 
     def _append_state(self, banded: DataFrame, batch: DataFrame) -> None:
         if self.state_dir is None:
