@@ -238,3 +238,24 @@ def test_ngram_verify_runs_on_hashed_shingles(spark, sf):
     assert "array<string>" not in plan.lower().replace(" ", ""), (
         "shingle STRINGS crossed into the verify plan:\n" + plan
     )
+
+
+def test_sampling_and_redaction_are_zero_shuffle(spark, sf):
+    """Stratified sampling and PII redaction must plan as pure
+    codegen filters/projections — zero exchanges. A shuffle appearing
+    here means membership/masking stopped being a per-row decision
+    and the 100 TB cost model changed."""
+    import __spark_entry__ as e
+
+    for name in ("sample_stratified", "text_redact"):
+        plan = plan_of(e.queries()[name](spark, sf))
+        assert "Exchange" not in plan, f"{name} grew a shuffle:\n" + plan
+
+
+def test_new_curation_queries_have_no_nested_loop_joins(spark, sf):
+    import __spark_entry__ as e
+
+    for name in ("dedup_decontaminate", "text_pack", "sample_epoch_order"):
+        plan = plan_of(e.queries()[name](spark, sf))
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
