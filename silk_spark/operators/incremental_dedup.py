@@ -115,14 +115,22 @@ class IncrementalDeduper:
 
     def _append_state(self, banded: DataFrame, batch: DataFrame) -> None:
         if self.state_dir is None:
-            self._mem_bands = (
+            # localCheckpoint (lazy) truncates the union's lineage on
+            # first materialization: without it, batch k's probe
+            # recomputes every prior batch's signature kernel through
+            # the accumulated union — O(k²) signature work across a
+            # run (the in-memory analogue of what the parquet state
+            # gives for free)
+            bands = (
                 banded if self._mem_bands is None
                 else self._mem_bands.unionByName(banded)
             )
-            self._mem_corpus = (
+            self._mem_bands = bands.localCheckpoint(eager=False)
+            corpus = (
                 batch if self._mem_corpus is None
                 else self._mem_corpus.unionByName(batch)
             )
+            self._mem_corpus = corpus.localCheckpoint(eager=False)
             return
         # band index partitioned by a band-id bucket: the probe join's
         # dynamic partition pruning reads only buckets the batch
