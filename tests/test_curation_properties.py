@@ -104,3 +104,54 @@ class TestCurationProperties:
             acc += k
             want[i] = pack
         assert got == want
+
+
+def _shingle_set(tokens, n=3):
+    if len(tokens) >= n:
+        return {" ".join(tokens[i : i + n]) for i in range(len(tokens) - n + 1)}
+    return {" ".join(tokens)} if tokens else set()
+
+
+@pytest.mark.usefixtures("spark")
+class TestNgramPipelineProperty:
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        corpus=st.lists(
+            st.lists(st.sampled_from(_VOCAB), min_size=1, max_size=10),
+            min_size=2, max_size=9,
+        ),
+        thr=st.sampled_from([0.3, 0.5, 0.8]),
+    )
+    def test_hashed_prefix_pipeline_matches_bruteforce(self, spark, corpus, thr):
+        """End-to-end soundness+completeness of ngram_jaccard_pairs on
+        random corpora: the hashed-shingle frames, int64-order prefix
+        index, PPJoin length filter and exact verify must together
+        reproduce the brute-force all-pairs Jaccard result — every
+        optimization in the chain is provably lossless, so ANY
+        divergence is a bug."""
+        from silk_spark.operators.dedup_suite import (
+            ngram_jaccard_pairs, release_persisted,
+        )
+
+        df = spark.createDataFrame(
+            [(i, " ".join(t)) for i, t in enumerate(corpus)],
+            "doc_id bigint, text string",
+        )
+        got = {
+            (r["left_id"], r["right_id"]): r["jaccard"]
+            for r in ngram_jaccard_pairs(df, threshold=thr).collect()
+        }
+        release_persisted(spark)
+        want = {}
+        sets = [_shingle_set(t) for t in corpus]
+        for i in range(len(corpus)):
+            for j in range(i + 1, len(corpus)):
+                inter = len(sets[i] & sets[j])
+                union = len(sets[i] | sets[j])
+                jac = 1.0 if union == 0 else inter / union
+                if jac >= thr:
+                    want[(i, j)] = round(jac, 6)
+        assert got == want
